@@ -1,0 +1,196 @@
+"""Typed configuration for the TPU-native CLIP+MAE framework.
+
+Field names and default values intentionally mirror the reference's flat config
+module (reference: config.py:1-37) so that users of the reference find the same
+knobs with the same semantics; TPU-specific fields are additive.
+
+Two training recipes from the reference are expressible:
+  * the ``.py`` recipe (reference: main.py:101-107): single AdamW group,
+    lr=1e-3, wd=1e-3, frozen text tower, scheduler that never fires;
+  * the notebook recipe ("OpenAI CLIP Simple Implementation.ipynb" cells 13,
+    47): per-tower LRs (head 1e-3 / image 1e-4 / text 1e-5), wd on heads only,
+    epoch-level ReduceLROnPlateau.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Mapping, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MAEConfig:
+    """Masked-autoencoder objective (capability the reference names but never
+    shipped; see reference modules.py:20-26 for the commented-out ViT tower)."""
+
+    enabled: bool = False
+    mask_ratio: float = 0.75
+    decoder_dim: int = 256
+    decoder_depth: int = 4
+    decoder_heads: int = 8
+    norm_pix_loss: bool = True
+    # Joint objective weight: L = L_infonce + lambda * L_mae.
+    loss_weight: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. ``data`` shards the batch (DP), ``model`` shards
+    tower weights (TP). Sizes of -1 mean "all remaining devices"."""
+
+    data: int = -1
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- reference-parity fields (reference: config.py:3-36) ---
+    debug: bool = False
+    image_path: str = "./dataset/images"
+    captions_path: str = "./dataset"
+    batch_size: int = 8              # per-step GLOBAL batch
+    num_workers: int = 0
+    lr: float = 1e-3
+    weight_decay: float = 1e-3
+    patience: int = 2
+    factor: float = 0.5
+    epochs: int = 10
+
+    model_name: str = "resnet50"     # image tower: resnet50 | vit_s16 | vit_b16
+    image_embedding: int = 2048
+    text_encoder_model: str = "distilbert-base-uncased"
+    text_embedding: int = 768
+    text_tokenizer: str = "distilbert-base-uncased"
+    max_length: int = 200
+
+    pretrained: bool = False         # no-egress default; True requires local weights
+    trainable: bool = True           # image tower trainable
+    text_trainable: bool = False     # reference freezes text tower (modules.py:35)
+    temperature: float = 1.0
+
+    size: int = 224
+
+    num_projection_layers: int = 1
+    projection_dim: int = 256
+    dropout: float = 0.1
+
+    logdir: str = "./output/mae_clip_tpu"
+    checkpoints: str = "./output/mae_clip_tpu/checkpoints"
+
+    # --- recipe selection ---
+    # "py": single AdamW group + scheduler that never steps (main.py:60-61,107)
+    # "notebook": per-tower LRs + epoch ReduceLROnPlateau
+    recipe: str = "py"
+    head_lr: float = 1e-3
+    image_encoder_lr: float = 1e-4
+    text_encoder_lr: float = 1e-5
+    scheduler_step: str = "epoch"    # "epoch" | "batch" | "none"
+
+    # --- TPU-native fields ---
+    seed: int = 42
+    compute_dtype: str = "bfloat16"  # matmul/activation dtype on TPU
+    param_dtype: str = "float32"
+    use_pallas: str = "auto"         # "auto" | "always" | "never"
+    remat: bool = False              # jax.checkpoint over tower blocks
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    global_contrastive: bool = True  # all-gather embeddings for global-batch loss
+    loss_chunk_size: int = 0         # 0 = unchunked; >0 = blockwise global loss
+    mae: MAEConfig = dataclasses.field(default_factory=MAEConfig)
+
+    # vocab file for the builtin WordPiece tokenizer (HF-format vocab.txt)
+    vocab_file: Optional[str] = None
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # ------------------------------------------------------------------
+    def validate(self) -> None:
+        if self.recipe not in ("py", "notebook"):
+            raise ValueError(f"unknown recipe {self.recipe!r}")
+        if self.scheduler_step not in ("epoch", "batch", "none"):
+            raise ValueError(f"unknown scheduler_step {self.scheduler_step!r}")
+        if self.use_pallas not in ("auto", "always", "never"):
+            raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
+        if self.model_name not in ("resnet50", "vit_s16", "vit_b16"):
+            raise ValueError(f"unknown model_name {self.model_name!r}")
+        if not 0.0 <= self.mae.mask_ratio < 1.0:
+            raise ValueError("mask_ratio must be in [0, 1)")
+
+    @property
+    def image_feature_dim(self) -> int:
+        return {"resnet50": 2048, "vit_s16": 384, "vit_b16": 768}[self.model_name]
+
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "Config":
+        d = dict(d)
+        if isinstance(d.get("mae"), Mapping):
+            d["mae"] = MAEConfig(**d["mae"])
+        if isinstance(d.get("mesh"), Mapping):
+            m = dict(d["mesh"])
+            if isinstance(m.get("axis_names"), list):
+                m["axis_names"] = tuple(m["axis_names"])
+            d["mesh"] = MeshConfig(**m)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def with_overrides(self, overrides: Sequence[str]) -> "Config":
+        """Apply ``key=value`` CLI overrides (dotted keys reach subconfigs)."""
+        cfg_dict = self.to_dict()
+        for item in overrides:
+            key, _, raw = item.partition("=")
+            if not _:
+                raise ValueError(f"override {item!r} must be key=value")
+            try:
+                val = json.loads(raw)
+            except json.JSONDecodeError:
+                val = raw
+            target = cfg_dict
+            parts = key.split(".")
+            for p in parts[:-1]:
+                target = target[p]
+            if parts[-1] not in target:
+                raise ValueError(f"unknown config key {key!r}")
+            target[parts[-1]] = val
+        return Config.from_dict(cfg_dict)
+
+
+def reference_py_config(**kw: Any) -> Config:
+    """The reference's exact ``.py`` recipe (config.py + main.py defaults)."""
+    base = Config(recipe="py", model_name="resnet50", trainable=True,
+                  text_trainable=False)
+    return base.replace(**kw)
+
+
+def notebook_config(**kw: Any) -> Config:
+    """The tutorial-notebook recipe (batch 32, per-tower LRs, 4 epochs)."""
+    base = Config(recipe="notebook", batch_size=32, epochs=4,
+                  text_trainable=True)
+    return base.replace(**kw)
+
+
+def flagship_tpu_config(**kw: Any) -> Config:
+    """ViT-S/16 + DistilBERT joint CLIP+MAE recipe tuned for TPU v5e."""
+    base = Config(
+        recipe="py",
+        model_name="vit_s16",
+        image_embedding=384,
+        batch_size=1024,
+        compute_dtype="bfloat16",
+        mae=MAEConfig(enabled=True),
+        global_contrastive=True,
+    )
+    return base.replace(**kw)

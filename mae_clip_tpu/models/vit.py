@@ -1,0 +1,185 @@
+"""Vision Transformer image tower (MAE-capable).
+
+The reference names a ViT tower but ships it commented out (reference:
+modules.py:20-26, ``vit_base_patch16_224``); this module realizes it
+TPU-first. Patch embedding is a reshape + one large matmul (MXU-friendly,
+identical math to a stride-16 conv), images are NHWC, blocks are pre-LN with
+erf GELU, and attention dispatches to the shared XLA/Pallas op.
+
+``pool='cls'`` with a class token matches timm's ViT head-less output
+(``num_classes=0``), so a timm checkpoint maps onto this tree via
+interop/torch_import.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mae_clip_tpu.models.layers import Dense, Dropout, LayerNorm, gelu_exact
+from mae_clip_tpu.ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    dim: int = 384
+    depth: int = 12
+    n_heads: int = 6
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    pos_embed: str = "learned"   # "learned" (timm-compatible) | "sincos" (MAE)
+    pool: str = "cls"            # "cls" | "mean"
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size ** 2
+
+
+VIT_S16 = ViTConfig(dim=384, depth=12, n_heads=6)
+VIT_B16 = ViTConfig(dim=768, depth=12, n_heads=12)
+
+
+def sincos_pos_embed_2d(dim: int, grid_size: int,
+                        cls_token: bool = False) -> np.ndarray:
+    """Fixed 2D sine-cosine positional embeddings (MAE paper, appendix)."""
+    assert dim % 4 == 0
+    pos = np.arange(grid_size, dtype=np.float64)
+    omega = np.arange(dim // 4, dtype=np.float64) / (dim / 4.0)
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum("p,d->pd", pos, omega)
+    emb_1d = np.concatenate([np.sin(out), np.cos(out)], axis=1)  # (g, dim/2)
+    emb_h = np.repeat(emb_1d[:, None, :], grid_size, axis=1)
+    emb_w = np.repeat(emb_1d[None, :, :], grid_size, axis=0)
+    emb = np.concatenate([emb_h, emb_w], axis=-1).reshape(-1, dim)
+    if cls_token:
+        emb = np.concatenate([np.zeros((1, dim)), emb], axis=0)
+    return emb.astype(np.float32)
+
+
+def patchify(images: jax.Array, patch_size: int) -> jax.Array:
+    """(B, H, W, C) NHWC -> (B, N, P*P*C) patches, row-major patch order."""
+    b, h, w, c = images.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = images.reshape(b, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)        # (B, gh, gw, p, p, C)
+    return x.reshape(b, gh * gw, p * p * c)
+
+
+def unpatchify(patches: jax.Array, patch_size: int, channels: int = 3
+               ) -> jax.Array:
+    """Inverse of :func:`patchify`."""
+    b, n, _ = patches.shape
+    p = patch_size
+    g = int(round(n ** 0.5))
+    x = patches.reshape(b, g, g, p, p, channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, g * p, g * p, channels)
+
+
+class PatchEmbed(nn.Module):
+    """Patchify + linear projection == non-overlapping conv, as one matmul."""
+
+    config: ViTConfig
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        c = self.config
+        patches = patchify(images, c.patch_size)
+        return Dense(c.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="proj")(patches)
+
+
+class ViTBlock(nn.Module):
+    config: ViTConfig
+    attn_impl: str = "xla"
+    attn_interpret: bool = False
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        c = self.config
+        b, s, _ = x.shape
+        dh = c.dim // c.n_heads
+        ln = lambda name: LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                    param_dtype=self.param_dtype, name=name)
+        dense = lambda feats, name: Dense(feats, dtype=self.dtype,
+                                          param_dtype=self.param_dtype,
+                                          name=name)
+        # Attention (pre-LN). qkv fused into one matmul like timm.
+        h = ln("norm1")(x)
+        qkv = dense(3 * c.dim, "attn_qkv")(h)
+        qkv = qkv.reshape(b, s, 3, c.n_heads, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        ctx = multi_head_attention(q, k, v, sm_scale=1.0 / dh ** 0.5,
+                                   impl=self.attn_impl,
+                                   interpret=self.attn_interpret)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, c.dim)
+        x = x + dense(c.dim, "attn_proj")(ctx)
+
+        # MLP (pre-LN).
+        h = ln("norm2")(x)
+        h = dense(int(c.dim * c.mlp_ratio), "mlp_fc1")(h)
+        h = gelu_exact(h)
+        h = dense(c.dim, "mlp_fc2")(h)
+        h = Dropout(c.dropout, name="mlp_drop")(h, deterministic)
+        return x + h
+
+
+class ViTEncoder(nn.Module):
+    """Full-sequence ViT encoder producing a pooled feature vector."""
+
+    config: ViTConfig = VIT_S16
+    attn_impl: str = "xla"
+    attn_interpret: bool = False
+    remat: bool = False
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        c = self.config
+        x = PatchEmbed(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="patch_embed")(images)
+        b, n, _ = x.shape
+
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, c.dim), self.param_dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c.dim)).astype(x.dtype),
+                             x], axis=1)
+        if c.pos_embed == "learned":
+            pe = self.param("pos_embed", nn.initializers.normal(0.02),
+                            (1, n + 1, c.dim), self.param_dtype)
+        else:
+            pe = jnp.asarray(sincos_pos_embed_2d(c.dim, c.grid_size,
+                                                 cls_token=True))[None]
+        x = x + pe.astype(x.dtype)
+
+        block_cls = ViTBlock
+        if self.remat:
+            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
+        for i in range(c.depth):
+            x = block_cls(c, attn_impl=self.attn_impl,
+                          attn_interpret=self.attn_interpret,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name=f"block_{i}")(x, deterministic)
+        x = LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="norm")(x)
+        if c.pool == "cls":
+            return x[:, 0]
+        return jnp.mean(x[:, 1:], axis=1)

@@ -1,0 +1,204 @@
+"""Multi-head attention: XLA reference path + Pallas flash-attention kernel.
+
+The reference delegates attention to HF DistilBERT internals (reference:
+modules.py:38,49-50) and would delegate ViT attention to timm (the
+commented-out tower at modules.py:20-26). Here attention is a first-class op:
+
+* ``attention_xla``: straightforward jnp implementation whose masking
+  semantics bit-match HF DistilBERT at fp32 (scores where mask==0 are set to
+  ``finfo.min`` before softmax, softmax in fp32).
+* ``flash_attention``: Pallas TPU kernel with online softmax over key blocks
+  (Dao et al. 2022 recipe adapted to the MXU/VMEM model). Forward runs as a
+  single fused kernel; the backward pass recomputes attention via the XLA
+  path under ``jax.vjp`` (flash recompute strategy) so gradients are exact.
+
+Sequence lengths in this framework are short (<=256: 200-token captions,
+197 ViT patches+CLS), so key blocks usually fit VMEM whole; the kernel still
+tiles over query and key blocks so longer sequences (ring/blockwise sequence
+parallelism later) slot in without interface changes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_valid: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Reference attention. Shapes: q/k/v (B, H, S, Dh); key_valid (B, Sk).
+
+    Matches HF DistilBERT masking: invalid-key scores are replaced with the
+    dtype minimum (not added), then softmax'd in fp32.
+    """
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / jnp.sqrt(d).astype(q.dtype)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if key_valid is not None:
+        neg = jnp.finfo(jnp.float32).min
+        scores = jnp.where(key_valid[:, None, None, :], scores, neg)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
+                      preferred_element_type=q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention
+# ---------------------------------------------------------------------------
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                      sm_scale: float, block_k: int, seq_k: int):
+    """One (batch*head, q_block) program: online softmax over key blocks."""
+    q = q_ref[0].astype(jnp.float32)                      # (block_q, d)
+    block_q, d = q.shape
+    num_kb = seq_k // block_k
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
+    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
+
+    def body(kb, carry):
+        m_i, l_i, acc = carry
+        kblk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        vblk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        mblk = mask_ref[0, 0, pl.ds(kb * block_k, block_k)]  # (block_k,)
+        s = jax.lax.dot_general(
+            q * sm_scale, kblk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (block_q, block_k)
+        s = jnp.where(mblk[None, :] > 0, s, _MASK_VALUE)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vblk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
+                   key_valid: Optional[jax.Array], sm_scale: float,
+                   block_q: int, block_k: int,
+                   interpret: bool) -> jax.Array:
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+    d_p = _round_up(d, 128)
+
+    if key_valid is None:
+        key_valid = jnp.ones((b, sk), dtype=jnp.float32)
+    else:
+        key_valid = key_valid.astype(jnp.float32)
+    # Pad: invalid keys masked out; padded queries produce garbage rows that
+    # are sliced away below.
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
+    mp = jnp.pad(key_valid, ((0, 0), (0, sk_p - sk)))
+
+    bh = b * h
+    qp = qp.reshape(bh, sq_p, d_p)
+    kp = kp.reshape(bh, sk_p, d_p)
+    vp = vp.reshape(bh, sk_p, d_p)
+    # Broadcast the mask per-head to (BH, 1, Sk): Mosaic tiling requires the
+    # last two block dims be (8k, 128k)-aligned or span the whole array, and
+    # dynamic per-batch row loads are unsupported -- so give each program its
+    # own aligned (1, 1, Sk) block instead.
+    mp = jnp.broadcast_to(mp[:, None, :], (b, h, sk_p)).reshape(bh, 1, sk_p)
+
+    grid = (bh, sq_p // block_q)
+    kernel = functools.partial(_flash_fwd_kernel, sm_scale=sm_scale,
+                               block_k=block_k, seq_k=sk_p)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d_p), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, mp)
+    return out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def flash_attention(q, k, v, key_valid, sm_scale: float,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False):
+    """Fused flash attention. q/k/v: (B, H, S, Dh); key_valid: (B, Sk) or None."""
+    return _flash_forward(q, k, v, key_valid, sm_scale, block_q, block_k,
+                          interpret)
+
+
+def _flash_fwd_rule(q, k, v, key_valid, sm_scale, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, key_valid, sm_scale, block_q, block_k,
+                         interpret)
+    return out, (q, k, v, key_valid)
+
+
+def _flash_bwd_rule(sm_scale, block_q, block_k, interpret, residuals, g):
+    q, k, v, key_valid = residuals
+    # Recompute-based backward: exact gradients via the XLA path. A fused
+    # Pallas backward kernel can replace this without touching callers.
+    valid_bool = None if key_valid is None else key_valid.astype(bool)
+
+    def f(q, k, v):
+        return attention_xla(q, k, v, valid_bool, sm_scale)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_valid: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
+    impl: str = "xla",
+    interpret: bool = False,
+) -> jax.Array:
+    """Dispatch between the XLA and Pallas implementations."""
+    d = q.shape[-1]
+    scale = float(sm_scale) if sm_scale is not None else float(1.0 / d ** 0.5)
+    if impl == "xla":
+        return attention_xla(q, k, v, key_valid, scale)
+    if impl == "pallas":
+        kv = None if key_valid is None else key_valid
+        return flash_attention(q, k, v, kv, scale, 128, 128, interpret)
+    raise ValueError(f"unknown attention impl {impl!r}")

@@ -1,0 +1,77 @@
+"""Sharding rules: how params and batches are laid out over the mesh.
+
+Design (GSPMD + explicit-collective hybrid):
+* the batch is sharded over the ``data`` axis (DP);
+* tower weights follow Megatron-style tensor parallelism over the ``model``
+  axis: column-parallel for up-projections (qkv, ffn_lin1/mlp_fc1: kernel
+  sharded on the OUTPUT dim) and row-parallel for down-projections
+  (out_lin/ffn_lin2/mlp_fc2/attn_proj: kernel sharded on the INPUT dim), so
+  XLA/GSPMD inserts exactly one reduce(-scatter)/all-gather pair per block;
+* everything else (embeddings, layernorms, projection heads) is replicated;
+* the global-batch contrastive loss runs under ``shard_map`` with explicit
+  ``all_gather``/``psum`` over ``data`` (ops/losses.py).
+
+The reference has no analogue (single device); this is TPU-native scaling
+per BASELINE.json config 5.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, PartitionSpec for the kernel). First match wins. Biases and
+# other 1-D params stay replicated (sharding tiny vectors wastes ICI).
+_TP_RULES = [
+    # Column-parallel (shard output features).
+    (re.compile(r"(attn_qkv|q_lin|k_lin|v_lin|ffn_lin1|mlp_fc1)/kernel$"),
+     P(None, "model")),
+    # Row-parallel (shard input features).
+    (re.compile(r"(attn_proj|out_lin|ffn_lin2|mlp_fc2)/kernel$"),
+     P("model", None)),
+    # Token embedding tables: shard the vocab dimension.
+    (re.compile(r"word_embeddings/embedding$"), P("model", None)),
+]
+
+
+def _spec_for(path: str, ndim: int, model_axis_size: int) -> P:
+    if model_axis_size > 1:
+        for rule, spec in _TP_RULES:
+            if rule.search(path):
+                if len(spec) <= ndim:
+                    return spec
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for a param/variable tree under ``mesh``."""
+    model_size = mesh.shape.get("model", 1)
+
+    def one(path, leaf):
+        keys = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+        spec = _spec_for(keys, getattr(leaf, "ndim", 0), model_size)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully-replicated NamedSharding pytree."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda _: sharding, tree)
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Batch arrays sharded on the leading (batch) dimension."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh,
+                data_axis: str = "data") -> Dict[str, jax.Array]:
+    sharding = batch_sharding(mesh, data_axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)

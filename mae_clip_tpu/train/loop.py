@@ -1,0 +1,269 @@
+"""Jitted train/eval steps and the epoch-level Trainer.
+
+TPU-first equivalent of the reference driver (reference: main.py:51-126):
+one ``jax.jit``-compiled train step (forward + backward + AdamW update)
+with donated state, batches sharded over the mesh ``data`` axis, and the
+global-batch contrastive loss computed under ``shard_map`` with explicit
+``all_gather``/``psum`` so the effective contrastive batch is the GLOBAL
+batch (the reference's loss is per-local-batch B x B, CLIP.py:34).
+
+Epoch semantics mirror the reference:
+* count-weighted loss meters over possibly-ragged batches (main.py:63-64);
+* eval under no-grad with dropout off / BN frozen (main.py:114-116);
+* best-validation checkpointing (main.py:118-122);
+* ``ReduceLROnPlateau`` stepping per ``cfg.scheduler_step`` — including the
+  reference's faithful "epoch mode never actually steps" quirk when
+  ``recipe='py'`` (see train/optim.py docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from mae_clip_tpu.config import Config
+from mae_clip_tpu.ops import losses as losses_lib
+from mae_clip_tpu.parallel.sharding import (batch_sharding, param_shardings,
+                                            replicate, shard_batch)
+from mae_clip_tpu.train.metrics import AvgMeter, MetricWriter, Throughput
+from mae_clip_tpu.train.optim import (ReduceLROnPlateau, current_lr,
+                                      make_optimizer, set_lr_scale)
+from mae_clip_tpu.train.state import TrainState
+
+
+def _clip_loss_fn(cfg: Config, mesh: Optional[Mesh]) -> Callable:
+    """Local or explicit-collective global contrastive loss."""
+    data_axis = cfg.mesh.axis_names[0]
+    use_global = (cfg.global_contrastive and mesh is not None
+                  and mesh.shape[data_axis] > 1)
+    if not use_global:
+        return lambda img, txt, valid: losses_lib.clip_soft_ce_loss(
+            img, txt, cfg.temperature, valid)
+
+    spec = P(data_axis)
+    fn = functools.partial(losses_lib.global_clip_soft_ce_loss,
+                           temperature=cfg.temperature, axis_name=data_axis)
+
+    def global_loss(img, txt, valid):
+        return shard_map(
+            lambda i, t, v: fn(i, t, valid=v),
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=P(),
+            check_rep=False,
+        )(img, txt, valid)
+
+    return global_loss
+
+
+def _forward(model, variables, batch, train, rng, cfg: Config):
+    """Run the model, returning (outputs, new_batch_stats)."""
+    rngs = {}
+    mask_rng = None
+    if train:
+        rngs["dropout"] = jax.random.fold_in(rng, 1)
+    if cfg.mae.enabled:
+        mask_rng = jax.random.fold_in(rng, 2)
+    mutable = ["batch_stats"] if "batch_stats" in variables and train else False
+    kwargs = dict(train=train, mask_rng=mask_rng, compute_contrastive=False)
+    if mutable:
+        out, updates = model.apply(variables, batch, rngs=rngs,
+                                   mutable=mutable, **kwargs)
+        return out, updates.get("batch_stats")
+    out = model.apply(variables, batch, rngs=rngs, **kwargs)
+    return out, None
+
+
+def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None):
+    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+    clip_loss_fn = _clip_loss_fn(cfg, mesh)
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array]
+                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng = jax.random.fold_in(state.rng, state.step)
+        valid = batch.get("valid")
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            out, new_stats = _forward(model, variables, batch, True, rng, cfg)
+            clip_loss = clip_loss_fn(out["image_embeddings"],
+                                     out["text_embeddings"], valid)
+            loss = clip_loss
+            metrics = {"clip_loss": clip_loss}
+            if "mae_loss" in out:
+                metrics["mae_loss"] = out["mae_loss"]
+                loss = loss + cfg.mae.loss_weight * out["mae_loss"]
+            metrics["loss"] = loss
+            return loss, (metrics, new_stats)
+
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=(new_stats if new_stats is not None
+                         else state.batch_stats))
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    bspec = batch_sharding(mesh, cfg.mesh.axis_names[0])
+    rep = NamedSharding(mesh, P())
+
+    def state_shardings(state: TrainState) -> TrainState:
+        return TrainState(
+            step=rep,
+            params=param_shardings(state.params, mesh),
+            opt_state=jax.tree_util.tree_map(lambda _: rep, state.opt_state),
+            batch_stats=(None if state.batch_stats is None else
+                         jax.tree_util.tree_map(lambda _: rep,
+                                                state.batch_stats)),
+            rng=rep)
+
+    def batch_shardings(batch):
+        return jax.tree_util.tree_map(lambda _: bspec, batch)
+
+    def jitted(state, batch):
+        fn = jax.jit(
+            step_fn,
+            in_shardings=(state_shardings(state), batch_shardings(batch)),
+            out_shardings=(state_shardings(state),
+                           jax.tree_util.tree_map(lambda _: rep,
+                                                  {"loss": 0, "clip_loss": 0,
+                                                   **({"mae_loss": 0}
+                                                      if cfg.mae.enabled
+                                                      else {})})),
+            donate_argnums=(0,))
+        return fn(state, batch)
+
+    return jitted
+
+
+def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
+    """Jitted eval step: (state, batch) -> metrics (no grads, no dropout)."""
+    clip_loss_fn = _clip_loss_fn(cfg, mesh)
+
+    def step_fn(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        out, _ = _forward(model, state.variables(), batch, False, rng, cfg)
+        clip_loss = clip_loss_fn(out["image_embeddings"],
+                                 out["text_embeddings"], batch.get("valid"))
+        metrics = {"clip_loss": clip_loss, "loss": clip_loss}
+        if "mae_loss" in out:
+            metrics["mae_loss"] = out["mae_loss"]
+            metrics["loss"] = clip_loss + cfg.mae.loss_weight * out["mae_loss"]
+        return metrics
+
+    return jax.jit(step_fn)
+
+
+class Trainer:
+    """Epoch-level driver mirroring reference main.py:85-126 semantics."""
+
+    def __init__(self, cfg: Config, model, params, tx=None,
+                 batch_stats=None, mesh: Optional[Mesh] = None,
+                 checkpoint_manager=None, writer: Optional[MetricWriter] = None):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = mesh
+        self.tx = tx if tx is not None else make_optimizer(cfg, params)
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.state = TrainState.create(params, self.tx, rng, batch_stats)
+        self.train_step = make_train_step(model, self.tx, cfg, mesh)
+        self.eval_step = make_eval_step(model, cfg, mesh)
+        self.scheduler = ReduceLROnPlateau(cfg.patience, cfg.factor)
+        self.checkpoint_manager = checkpoint_manager
+        self.writer = writer
+        self.best_loss = float("inf")
+        n_chips = len(mesh.devices.flatten()) if mesh is not None else 1
+        self.throughput = Throughput(num_chips=n_chips)
+
+    def _prepare(self, batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k != "caption"}
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh,
+                                self.cfg.mesh.axis_names[0])
+        return batch
+
+    @staticmethod
+    def _count(batch) -> int:
+        if "valid" in batch:
+            return int(np.asarray(batch["valid"]).sum())
+        return int(np.asarray(batch["image"]).shape[0])
+
+    def train_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
+        meter = AvgMeter("train_loss")
+        self.throughput.start()
+        for batch in loader:
+            count = self._count(batch)
+            self.state, metrics = self.train_step(self.state,
+                                                  self._prepare(batch))
+            if self.cfg.scheduler_step == "batch":
+                self._scheduler_step(float(metrics["loss"]))
+            meter.update(float(metrics["loss"]), count)
+            self.throughput.update(count)
+        return meter
+
+    def valid_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
+        meter = AvgMeter("valid_loss")
+        for batch in loader:
+            count = self._count(batch)
+            metrics = self.eval_step(self.state, self._prepare(batch))
+            meter.update(float(metrics["loss"]), count)
+        return meter
+
+    def _scheduler_step(self, metric: float) -> None:
+        scale = self.scheduler.step(metric)
+        self.state = self.state.replace(
+            opt_state=set_lr_scale(self.state.opt_state, scale))
+
+    def fit(self, train_loader_fn: Callable[[], Iterable],
+            valid_loader_fn: Callable[[], Iterable],
+            epochs: Optional[int] = None) -> Dict[str, Any]:
+        """Full training run; returns history. Loader fns build fresh
+        per-epoch iterables (the reference reshuffles per epoch)."""
+        cfg = self.cfg
+        history = {"train_loss": [], "valid_loss": []}
+        for epoch in range(epochs if epochs is not None else cfg.epochs):
+            train_meter = self.train_epoch(train_loader_fn())
+            valid_meter = self.valid_epoch(valid_loader_fn())
+            # Reference quirk: with recipe='py' the epoch-mode scheduler is
+            # never stepped (main.py:60-61,107) -> LR stays constant.
+            if cfg.scheduler_step == "epoch" and cfg.recipe == "notebook":
+                self._scheduler_step(valid_meter.avg)
+            history["train_loss"].append(train_meter.avg)
+            history["valid_loss"].append(valid_meter.avg)
+
+            is_best = valid_meter.avg < self.best_loss
+            if is_best:
+                self.best_loss = valid_meter.avg
+            if self.checkpoint_manager is not None:
+                self.checkpoint_manager.save(
+                    epoch=epoch, state=self.state,
+                    metrics={"valid_loss": valid_meter.avg},
+                    scheduler=self.scheduler.state_dict(),
+                    best_loss=self.best_loss, is_best=is_best)
+            if self.writer is not None:
+                self.writer.write_scalars(epoch, {
+                    "loss/train": train_meter.avg,
+                    "loss/val": valid_meter.avg,
+                    "lr": current_lr(cfg, self.state.opt_state),
+                    "throughput/examples_per_sec_per_chip":
+                        self.throughput.examples_per_sec_per_chip,
+                })
+        return history

@@ -1,0 +1,181 @@
+"""Optimizers and LR scheduling.
+
+Two recipes from the reference are supported (see config.py):
+
+* ``py``: one AdamW group over ALL trainable params, lr=1e-3, wd=1e-3
+  (reference: main.py:101-103). The reference constructs a
+  ReduceLROnPlateau but NEVER steps it (``step='epoch'`` while only the
+  ``step=='batch'`` branch steps, main.py:60-61,107) — so the faithful
+  default keeps the LR constant; ``scheduler_step='epoch'`` in the notebook
+  recipe actually steps it.
+* ``notebook``: per-tower groups (head 1e-3 / image 1e-4 / text 1e-5, weight
+  decay on the heads only) + epoch-level ReduceLROnPlateau(valid_loss)
+  (tutorial notebook cells 13, 47).
+
+Frozen params (the reference freezes the text tower via requires_grad=False,
+modules.py:35,42-43) are masked out of the optimizer entirely — like torch,
+they receive neither updates nor weight decay.
+
+LR scheduling is implemented as a global multiplicative ``scale`` applied to
+the final update (exactly equivalent to scaling every group's lr, since both
+the Adam step and the decoupled weight decay are linear in lr), stored in the
+optimizer state so it checkpoints/restores with everything else.
+``ReduceLROnPlateau`` reproduces torch defaults (mode='min', threshold=1e-4
+relative) host-side.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mae_clip_tpu.config import Config
+
+
+class ScaleByDynamicState(NamedTuple):
+    scale: jax.Array  # f32 scalar, mutated host-side by the scheduler
+
+
+def scale_by_dynamic() -> optax.GradientTransformation:
+    """Multiply updates by a runtime-adjustable scalar kept in opt state."""
+
+    def init_fn(params):
+        del params
+        return ScaleByDynamicState(scale=jnp.asarray(1.0, jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda u: u * state.scale.astype(u.dtype), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in path)
+
+
+def _label_tree(params: Any, label_fn: Callable[[str], str]) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: label_fn(_path_str(p)), params)
+
+
+def _adamw(lr: float, wd: float) -> optax.GradientTransformation:
+    # torch AdamW defaults: betas=(0.9, 0.999), eps=1e-8.
+    return optax.adamw(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=wd)
+
+
+def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
+    """Build the optimizer for ``cfg.recipe`` over a CLIPModel param tree."""
+
+    def group_of(path: str) -> str:
+        if path.startswith("text_encoder"):
+            return "frozen" if not cfg.text_trainable else "text"
+        if path.startswith("image_encoder"):
+            return "frozen" if not cfg.trainable else "image"
+        return "head"
+
+    if cfg.recipe == "py":
+        transforms = {
+            "head": _adamw(cfg.lr, cfg.weight_decay),
+            "image": _adamw(cfg.lr, cfg.weight_decay),
+            "text": _adamw(cfg.lr, cfg.weight_decay),
+            "frozen": optax.set_to_zero(),
+        }
+    elif cfg.recipe == "notebook":
+        transforms = {
+            "head": _adamw(cfg.head_lr, cfg.weight_decay),
+            "image": _adamw(cfg.image_encoder_lr, 0.0),
+            "text": _adamw(cfg.text_encoder_lr, 0.0),
+            "frozen": optax.set_to_zero(),
+        }
+    else:
+        raise ValueError(f"unknown recipe {cfg.recipe!r}")
+
+    labels = _label_tree(params, group_of)
+    return optax.chain(
+        optax.multi_transform(transforms, labels),
+        scale_by_dynamic(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LR scale plumbing
+# ---------------------------------------------------------------------------
+
+def _find_dynamic_state(opt_state) -> Tuple[int, ScaleByDynamicState]:
+    for i, s in enumerate(opt_state):
+        if isinstance(s, ScaleByDynamicState):
+            return i, s
+    raise ValueError("optimizer state has no ScaleByDynamicState "
+                     "(was the optimizer built by make_optimizer?)")
+
+
+def get_lr_scale(opt_state) -> float:
+    _, s = _find_dynamic_state(opt_state)
+    return float(s.scale)
+
+
+def set_lr_scale(opt_state, scale: float):
+    """Return opt_state with the dynamic LR scale replaced."""
+    i, s = _find_dynamic_state(opt_state)
+    new = ScaleByDynamicState(scale=jnp.asarray(scale, jnp.float32))
+    return tuple(new if j == i else st for j, st in enumerate(opt_state))
+
+
+def current_lr(cfg: Config, opt_state) -> float:
+    """First param-group LR, mirroring reference utils.py:18-20 (get_lr)."""
+    base = cfg.lr if cfg.recipe == "py" else cfg.head_lr
+    return base * get_lr_scale(opt_state)
+
+
+# ---------------------------------------------------------------------------
+# ReduceLROnPlateau (torch semantics, host-side)
+# ---------------------------------------------------------------------------
+
+class ReduceLROnPlateau:
+    """Faithful torch ReduceLROnPlateau(mode='min') on an LR *scale*.
+
+    The reference constructs this with patience=CFG.patience=2 and
+    factor=CFG.factor=0.5 (reference: main.py:104-106). ``step(metric)``
+    returns the new scale to install via :func:`set_lr_scale`.
+    """
+
+    def __init__(self, patience: int = 2, factor: float = 0.5,
+                 threshold: float = 1e-4, min_scale: float = 0.0):
+        self.patience = patience
+        self.factor = factor
+        self.threshold = threshold
+        self.min_scale = min_scale
+        self.best = float("inf")
+        self.num_bad_epochs = 0
+        self.scale = 1.0
+
+    def is_better(self, metric: float) -> bool:
+        return metric < self.best * (1.0 - self.threshold)
+
+    def step(self, metric: float) -> float:
+        if self.is_better(metric):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            self.num_bad_epochs = 0
+        return self.scale
+
+    def state_dict(self) -> dict:
+        return {"best": self.best, "num_bad_epochs": self.num_bad_epochs,
+                "scale": self.scale}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = d["best"]
+        self.num_bad_epochs = d["num_bad_epochs"]
+        self.scale = d["scale"]

@@ -1,0 +1,71 @@
+"""Pallas flash attention vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mae_clip_tpu.ops.attention import attention_xla, flash_attention
+
+
+def _rand_qkv(rng, b=2, h=3, s=37, d=16):
+    q = rng.normal(size=(b, h, s, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, s, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, s, d)).astype(np.float32)
+    return jnp.array(q), jnp.array(k), jnp.array(v)
+
+
+def test_flash_matches_xla_unmasked():
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng)
+    scale = 1.0 / q.shape[-1] ** 0.5
+    expected = attention_xla(q, k, v, None, scale)
+    got = flash_attention(q, k, v, None, scale, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_matches_xla_masked():
+    rng = np.random.default_rng(1)
+    q, k, v = _rand_qkv(rng, b=2, h=2, s=29, d=8)
+    key_valid = np.ones((2, 29), dtype=np.float32)
+    key_valid[0, 20:] = 0
+    key_valid[1, 5:] = 0
+    kv = jnp.array(key_valid)
+    scale = 1.0 / q.shape[-1] ** 0.5
+    expected = attention_xla(q, k, v, kv.astype(bool), scale)
+    got = flash_attention(q, k, v, kv, scale, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_multi_key_block():
+    """Force >1 key block to exercise the online-softmax loop."""
+    rng = np.random.default_rng(2)
+    q, k, v = _rand_qkv(rng, b=1, h=1, s=300, d=8)
+    scale = 1.0 / 8 ** 0.5
+    expected = attention_xla(q, k, v, None, scale)
+    got = flash_attention(q, k, v, None, scale, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_gradients_match_xla():
+    rng = np.random.default_rng(3)
+    q, k, v = _rand_qkv(rng, b=1, h=2, s=19, d=8)
+    key_valid = jnp.array(np.concatenate(
+        [np.ones((1, 15), np.float32), np.zeros((1, 4), np.float32)], axis=1))
+    scale = 1.0 / 8 ** 0.5
+
+    def f_xla(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, key_valid.astype(bool), scale) ** 2)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, key_valid, scale, 128, 128,
+                                       True) ** 2)
+
+    g_xla = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_xla, g_flash):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-3)
