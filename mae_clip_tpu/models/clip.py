@@ -53,6 +53,9 @@ class CLIPModel(nn.Module):
     attn_impl: str = "xla"
     attn_interpret: bool = False
     clip_from_masked: bool = True
+    # Explicit ViT geometry override (tests / custom towers); defaults to
+    # the geometry implied by cfg.model_name.
+    vit_config: Optional[ViTConfig] = None
 
     def setup(self):
         cfg = self.cfg
@@ -67,7 +70,8 @@ class CLIPModel(nn.Module):
                 raise ValueError("MAE requires a ViT image tower")
             self.image_encoder = resnet50(**common)
         else:
-            vcfg = vit_config_for(cfg)
+            vcfg = (self.vit_config if self.vit_config is not None
+                    else vit_config_for(cfg))
             if cfg.mae.enabled:
                 dec = MAEDecoderConfig(dim=cfg.mae.decoder_dim,
                                        depth=cfg.mae.decoder_depth,

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mae_clip_tpu.config import Config
 from mae_clip_tpu.ops import losses as losses_lib
@@ -56,7 +56,6 @@ def _clip_loss_fn(cfg: Config, mesh: Optional[Mesh]) -> Callable:
             mesh=mesh,
             in_specs=(spec, spec, spec),
             out_specs=P(),
-            check_rep=False,
         )(img, txt, valid)
 
     return global_loss
@@ -137,18 +136,24 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None):
     def batch_shardings(batch):
         return jax.tree_util.tree_map(lambda _: bspec, batch)
 
+    cache = {}
+
     def jitted(state, batch):
-        fn = jax.jit(
-            step_fn,
-            in_shardings=(state_shardings(state), batch_shardings(batch)),
-            out_shardings=(state_shardings(state),
-                           jax.tree_util.tree_map(lambda _: rep,
-                                                  {"loss": 0, "clip_loss": 0,
-                                                   **({"mae_loss": 0}
-                                                      if cfg.mae.enabled
-                                                      else {})})),
-            donate_argnums=(0,))
-        return fn(state, batch)
+        # Shardings depend on the pytree structure, known at first call;
+        # build the jitted executable once and reuse it (re-wrapping in
+        # jax.jit per call would recompile every step).
+        if "fn" not in cache:
+            metrics_proto = {"loss": 0, "clip_loss": 0,
+                             **({"mae_loss": 0} if cfg.mae.enabled else {})}
+            cache["fn"] = jax.jit(
+                step_fn,
+                in_shardings=(state_shardings(state),
+                              batch_shardings(batch)),
+                out_shardings=(state_shardings(state),
+                               jax.tree_util.tree_map(lambda _: rep,
+                                                      metrics_proto)),
+                donate_argnums=(0,))
+        return cache["fn"](state, batch)
 
     return jitted
 

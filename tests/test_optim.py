@@ -1,0 +1,128 @@
+"""Optimizer recipes and the plateau scheduler vs torch oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from mae_clip_tpu.config import Config
+from mae_clip_tpu.train.optim import (ReduceLROnPlateau, get_lr_scale,
+                                      make_optimizer, set_lr_scale)
+
+
+def _fake_clip_params():
+    k = lambda *s: jnp.ones(s, jnp.float32)
+    return {
+        "image_encoder": {"block_0": {"kernel": k(4, 4)}},
+        "text_encoder": {"model": {"layer_0": {"kernel": k(4, 4)}}},
+        "image_projection": {"projection": {"kernel": k(4, 4)}},
+        "text_projection": {"projection": {"kernel": k(4, 4)}},
+    }
+
+
+def test_py_recipe_freezes_text_tower():
+    cfg = Config(recipe="py", trainable=True, text_trainable=False)
+    params = _fake_clip_params()
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(updates["text_encoder"]["model"]["layer_0"]
+                         ["kernel"]).max()) == 0.0
+    assert float(jnp.abs(updates["image_encoder"]["block_0"]
+                         ["kernel"]).max()) > 0.0
+    assert float(jnp.abs(updates["image_projection"]["projection"]
+                         ["kernel"]).max()) > 0.0
+
+
+def test_adamw_update_matches_torch():
+    """Single-group AdamW (py recipe) vs torch.optim.AdamW, several steps."""
+    cfg = Config(recipe="py", lr=1e-3, weight_decay=1e-3, text_trainable=True)
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(4, 4)).astype(np.float32)
+    params = {"image_projection": {"projection": {"kernel": jnp.array(w0)}}}
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
+    t_w = torch.tensor(w0.copy(), requires_grad=True)
+    t_opt = torch.optim.AdamW([t_w], lr=1e-3, weight_decay=1e-3)
+
+    for step in range(5):
+        g = rng.normal(size=(4, 4)).astype(np.float32)
+        grads = {"image_projection": {"projection": {"kernel": jnp.array(g)}}}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+        t_opt.zero_grad()
+        t_w.grad = torch.tensor(g)
+        t_opt.step()
+
+    np.testing.assert_allclose(
+        np.asarray(params["image_projection"]["projection"]["kernel"]),
+        t_w.detach().numpy(), atol=1e-6, rtol=1e-5)
+
+
+def test_notebook_recipe_group_lrs():
+    cfg = Config(recipe="notebook", head_lr=1e-3, image_encoder_lr=1e-4,
+                 text_encoder_lr=1e-5, weight_decay=1e-3,
+                 trainable=True, text_trainable=True)
+    params = _fake_clip_params()
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    # Uniform unit grads: first-step AdamW update magnitude ~= lr per group.
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    zero_params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, opt_state, zero_params)
+    head = float(jnp.abs(updates["image_projection"]["projection"]
+                         ["kernel"]).mean())
+    image = float(jnp.abs(updates["image_encoder"]["block_0"]
+                          ["kernel"]).mean())
+    text = float(jnp.abs(updates["text_encoder"]["model"]["layer_0"]
+                         ["kernel"]).mean())
+    assert np.isclose(head / image, 10.0, rtol=1e-3)
+    assert np.isclose(image / text, 10.0, rtol=1e-3)
+
+
+def test_lr_scale_roundtrip():
+    cfg = Config(recipe="py")
+    params = _fake_clip_params()
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    assert get_lr_scale(opt_state) == 1.0
+    opt_state = set_lr_scale(opt_state, 0.25)
+    assert get_lr_scale(opt_state) == 0.25
+    # Scaled update must be 4x smaller.
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    upd_scaled, _ = tx.update(grads, opt_state, zeros)
+    opt_state2 = set_lr_scale(tx.init(params), 1.0)
+    upd_full, _ = tx.update(grads, opt_state2, zeros)
+    a = float(jnp.abs(upd_scaled["image_projection"]["projection"]
+                      ["kernel"]).mean())
+    b = float(jnp.abs(upd_full["image_projection"]["projection"]
+                      ["kernel"]).mean())
+    assert np.isclose(a * 4, b, rtol=1e-5)
+
+
+def test_plateau_scheduler_matches_torch():
+    """Scale trajectory == torch ReduceLROnPlateau LR trajectory."""
+    metrics = [10.0, 9.0, 9.0, 9.0, 9.0, 8.0, 8.0, 8.0, 8.0, 8.0, 7.9999]
+    ours = ReduceLROnPlateau(patience=2, factor=0.5)
+    w = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([w], lr=1.0)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", patience=2, factor=0.5)
+    for m in metrics:
+        scale = ours.step(m)
+        sched.step(m)
+        torch_lr = opt.param_groups[0]["lr"]
+        assert np.isclose(scale, torch_lr), (m, scale, torch_lr)
+
+
+def test_plateau_state_roundtrip():
+    s = ReduceLROnPlateau(patience=1, factor=0.1)
+    s.step(5.0); s.step(6.0); s.step(6.0)
+    d = s.state_dict()
+    s2 = ReduceLROnPlateau(patience=1, factor=0.1)
+    s2.load_state_dict(d)
+    assert s2.step(6.0) == s.step(6.0)

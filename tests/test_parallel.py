@@ -1,0 +1,107 @@
+"""Mesh-global contrastive loss == single-device loss on the same batch."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from mae_clip_tpu.ops.losses import (clip_soft_ce_loss,
+                                     global_clip_soft_ce_loss)
+from mae_clip_tpu.parallel.mesh import create_mesh, local_batch_size
+from mae_clip_tpu.parallel.sharding import param_shardings
+
+
+def _global_loss_fn(mesh, temperature=1.0):
+    spec = P("data")
+    fn = functools.partial(global_clip_soft_ce_loss,
+                           temperature=temperature, axis_name="data")
+    return shard_map(lambda i, t, v: fn(i, t, valid=v), mesh=mesh,
+                     in_specs=(spec, spec, spec), out_specs=P())
+
+
+def test_global_loss_matches_local():
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(0)
+    img = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    txt = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    valid = jnp.ones((16,), dtype=bool)
+
+    local = clip_soft_ce_loss(img, txt, 1.0, valid)
+    with mesh:
+        global_ = _global_loss_fn(mesh)(img, txt, valid)
+    np.testing.assert_allclose(float(global_), float(local), atol=1e-5)
+
+
+def test_global_loss_with_padding():
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(1)
+    img = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    txt = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    valid = np.ones((16,), dtype=bool)
+    valid[13:] = False  # ragged global tail
+    valid = jnp.array(valid)
+
+    local = clip_soft_ce_loss(img, txt, 1.0, valid)
+    with mesh:
+        global_ = _global_loss_fn(mesh)(img, txt, valid)
+    np.testing.assert_allclose(float(global_), float(local), atol=1e-5)
+
+
+def test_global_loss_gradients_match_local():
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(2)
+    img = jnp.array(rng.normal(size=(8, 4)).astype(np.float32))
+    txt = jnp.array(rng.normal(size=(8, 4)).astype(np.float32))
+    valid = jnp.ones((8,), dtype=bool)
+
+    g_local = jax.grad(lambda a, b: clip_soft_ce_loss(a, b, 1.0, valid),
+                       argnums=(0, 1))(img, txt)
+    loss_fn = _global_loss_fn(mesh)
+    with mesh:
+        g_global = jax.grad(lambda a, b: loss_fn(a, b, valid),
+                            argnums=(0, 1))(img, txt)
+    for a, b in zip(g_local, g_global):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_global_loss_temperature():
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(3)
+    img = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    txt = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    valid = jnp.ones((16,), dtype=bool)
+    local = clip_soft_ce_loss(img, txt, 0.07, valid)
+    with mesh:
+        global_ = _global_loss_fn(mesh, temperature=0.07)(img, txt, valid)
+    np.testing.assert_allclose(float(global_), float(local), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_mesh_shapes_and_local_batch():
+    mesh = create_mesh(4, 2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+    assert local_batch_size(32, mesh) == 8
+    mesh8 = create_mesh(-1, 1)
+    assert mesh8.shape["data"] == 8
+
+
+def test_tp_sharding_rules():
+    mesh = create_mesh(4, 2)
+    params = {
+        "layer_0": {
+            "attention": {"q_lin": {"kernel": jnp.zeros((8, 8)),
+                                    "bias": jnp.zeros((8,))}},
+            "ffn_lin1": {"kernel": jnp.zeros((8, 32))},
+            "ffn_lin2": {"kernel": jnp.zeros((32, 8))},
+            "sa_layer_norm": {"scale": jnp.ones((8,))},
+        },
+    }
+    sh = param_shardings(params, mesh)
+    assert sh["layer_0"]["attention"]["q_lin"]["kernel"].spec == P(None, "model")
+    assert sh["layer_0"]["attention"]["q_lin"]["bias"].spec == P()
+    assert sh["layer_0"]["ffn_lin1"]["kernel"].spec == P(None, "model")
+    assert sh["layer_0"]["ffn_lin2"]["kernel"].spec == P("model", None)
+    assert sh["layer_0"]["sa_layer_norm"]["scale"].spec == P()

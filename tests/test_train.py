@@ -1,0 +1,216 @@
+"""End-to-end training: jitted step, mesh step, Trainer.fit, checkpointing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mae_clip_tpu.config import Config, MAEConfig
+from mae_clip_tpu.models.clip import CLIPModel
+from mae_clip_tpu.models.distilbert import DistilBertConfig
+from mae_clip_tpu.models.vit import ViTConfig
+from mae_clip_tpu.parallel.mesh import create_mesh
+from mae_clip_tpu.train.loop import Trainer, make_eval_step, make_train_step
+from mae_clip_tpu.train.optim import make_optimizer
+from mae_clip_tpu.train.state import TrainState
+
+TINY_TEXT = DistilBertConfig(vocab_size=64, dim=16, n_layers=1, n_heads=2,
+                             hidden_dim=32, max_position_embeddings=32)
+TINY_VIT = ViTConfig(image_size=16, patch_size=8, dim=16, depth=1, n_heads=2,
+                     pos_embed="sincos")
+
+
+def tiny_cfg(**kw) -> Config:
+    base = dict(model_name="vit_s16", image_embedding=16, projection_dim=8,
+                batch_size=8, size=16, compute_dtype="float32",
+                text_trainable=False, pretrained=False, max_length=16)
+    base.update(kw)
+    return Config(**base)
+
+
+def tiny_batch(rng, b=8, seq=12):
+    return {
+        "image": jnp.array(rng.normal(size=(b, 16, 16, 3)).astype(np.float32)),
+        "input_ids": jnp.array(rng.integers(0, 64, size=(b, seq)).astype(np.int32)),
+        "attention_mask": jnp.ones((b, seq), dtype=jnp.int32),
+        "valid": jnp.ones((b,), dtype=bool),
+    }
+
+
+def build(cfg):
+    model = CLIPModel(cfg, text_config=TINY_TEXT, vit_config=TINY_VIT)
+    rng = np.random.default_rng(0)
+    batch = tiny_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch,
+                           mask_rng=jax.random.PRNGKey(1))
+    return model, variables, batch
+
+
+def test_train_step_loss_decreases_and_freezes_text():
+    cfg = tiny_cfg()
+    model, variables, batch = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, cfg)
+
+    # Copy to host BEFORE stepping: the train step donates the state (and
+    # ``variables`` shares buffers with it).
+    text_before = [np.asarray(x).copy() for x in
+                   jax.tree_util.tree_leaves(state.params["text_encoder"])]
+    proj_before = np.asarray(jax.tree_util.tree_leaves(
+        state.params["image_projection"])[0]).copy()
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    # Frozen text tower params unchanged (reference modules.py:35 semantics).
+    text_after = jax.tree_util.tree_leaves(state.params["text_encoder"])
+    for a, b in zip(text_before, text_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Image tower + heads DID move.
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(
+            state.params["image_projection"])[0]), proj_before)
+
+
+def test_train_step_with_mae_joint_loss():
+    cfg = tiny_cfg(mae=MAEConfig(enabled=True, mask_ratio=0.5,
+                                 decoder_dim=16, decoder_depth=1,
+                                 decoder_heads=2))
+    model, variables, batch = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, cfg)
+    state, metrics = step(state, batch)
+    assert "mae_loss" in metrics
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isclose(float(metrics["loss"]),
+                      float(metrics["clip_loss"]) + float(metrics["mae_loss"]),
+                      rtol=1e-5)
+
+
+def test_mesh_step_matches_single_device():
+    cfg = tiny_cfg(global_contrastive=True)
+    model, variables, batch = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    state1 = TrainState.create(copy(variables["params"]), tx,
+                               jax.random.PRNGKey(2))
+    step1 = make_train_step(model, tx, cfg)
+    state1, m1 = step1(state1, batch)
+
+    mesh = create_mesh(8, 1)
+    state2 = TrainState.create(copy(variables["params"]), tx,
+                               jax.random.PRNGKey(2))
+    step2 = make_train_step(model, tx, cfg, mesh=mesh)
+    state2, m2 = step2(state2, batch)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               atol=1e-5)
+
+    # Full-model GRADIENTS agree between the local loss and the shard_map
+    # global loss (comparing post-Adam params is noise-amplifying: Adam
+    # normalizes near-zero grads to +-lr, so fp-noise flips sign).
+    from mae_clip_tpu.ops.losses import clip_soft_ce_loss
+    from mae_clip_tpu.train.loop import _clip_loss_fn
+
+    def grads_with(loss_fn, params):
+        def f(p):
+            out = model.apply({"params": p}, batch,
+                              compute_contrastive=False)
+            return loss_fn(out["image_embeddings"], out["text_embeddings"],
+                           batch["valid"])
+        return jax.grad(f)(params)
+
+    params = copy(variables["params"])
+    g_local = grads_with(
+        lambda i, t, v: clip_soft_ce_loss(i, t, cfg.temperature, v), params)
+    with mesh:
+        g_global = grads_with(_clip_loss_fn(cfg, mesh), params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_local),
+                    jax.tree_util.tree_leaves(g_global)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5,
+                                   rtol=1e-5)
+
+
+def test_mesh_step_with_model_axis():
+    """DP x TP mesh (4x2) compiles and runs with TP-sharded kernels."""
+    cfg = tiny_cfg(global_contrastive=True)
+    model, variables, batch = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    mesh = create_mesh(4, 2)
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, cfg, mesh=mesh)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_step_deterministic():
+    cfg = tiny_cfg()
+    model, variables, batch = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    ev = make_eval_step(model, cfg)
+    a = float(ev(state, batch)["loss"])
+    b = float(ev(state, batch)["loss"])
+    assert a == b
+    assert np.isfinite(a)
+
+
+def _loaders(rng, n_batches=3, b=8):
+    batches = [
+        {k: np.asarray(v) for k, v in tiny_batch(rng, b=b).items()}
+        for _ in range(n_batches)]
+    return lambda: iter(batches)
+
+
+def test_trainer_fit_and_checkpoint(tmp_path):
+    from mae_clip_tpu.train.checkpoint import CheckpointManager, abstract_like
+    from mae_clip_tpu.train.metrics import MetricWriter
+
+    cfg = tiny_cfg(epochs=2, logdir=str(tmp_path / "logs"),
+                   checkpoints=str(tmp_path / "ckpt"))
+    model, variables, _ = build(cfg)
+    rng = np.random.default_rng(0)
+    mngr = CheckpointManager(cfg.checkpoints)
+    writer = MetricWriter(cfg.logdir)
+    trainer = Trainer(cfg, model, variables["params"],
+                      checkpoint_manager=mngr, writer=writer)
+    history = trainer.fit(_loaders(rng), _loaders(rng, n_batches=2))
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in history["valid_loss"])
+    mngr.wait()
+
+    # Metrics JSONL written.
+    import json, os
+    lines = [json.loads(l) for l in
+             open(os.path.join(cfg.logdir, "metrics.jsonl"))]
+    assert len(lines) == 2
+    assert "loss/train" in lines[0] and "lr" in lines[0]
+
+    # Restore roundtrip: params identical to in-memory state.
+    restored, meta = mngr.restore(abstract_like(trainer.state))
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert meta["best_loss"] == trainer.best_loss
+    assert int(restored.step) == int(trainer.state.step)
+    mngr.close()
+    writer.close()
+
+
+def test_trainer_ragged_batch_metrics():
+    """Count-weighted epoch loss over a ragged tail (reference AvgMeter)."""
+    cfg = tiny_cfg()
+    model, variables, _ = build(cfg)
+    trainer = Trainer(cfg, model, variables["params"])
+    rng = np.random.default_rng(1)
+    full = {k: np.asarray(v) for k, v in tiny_batch(rng).items()}
+    ragged = {k: np.array(v) for k, v in tiny_batch(rng).items()}
+    ragged["valid"][5:] = False
+    meter = trainer.valid_epoch(iter([full, ragged]))
+    assert meter.count == 8 + 5
+    assert np.isfinite(meter.avg)
