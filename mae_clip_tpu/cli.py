@@ -1,0 +1,275 @@
+"""Command-line entry points.
+
+The reference's only "CLI" is ``python main.py`` with hard-coded paths
+(reference: main.py:85-126) plus the standalone converter
+``coco_captions_to_df.py``. Here every capability is a subcommand with
+config-file + ``key=value`` overrides:
+
+    python -m mae_clip_tpu.cli train --coco-train ann.json --coco-val val.json
+    python -m mae_clip_tpu.cli train --captions-dir /data/flickr8k
+    python -m mae_clip_tpu.cli retrieve --checkpoint ... --query "a dog"
+    python -m mae_clip_tpu.cli zeroshot --checkpoint ... --labels cat,dog
+    python -m mae_clip_tpu.cli import-pth checkpoint_3.pth out/
+    python -m mae_clip_tpu.cli build-vocab captions.csv vocab.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+from mae_clip_tpu.config import Config
+
+
+def _add_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", help="JSON config file")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE", help="config override (repeatable)")
+
+
+def _load_config(args) -> Config:
+    cfg = Config.from_file(args.config) if args.config else Config()
+    cfg = cfg.with_overrides(args.overrides)
+    cfg.validate()
+    return cfg
+
+
+def _build_model(cfg: Config, vocab_size: Optional[int] = None):
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    import jax
+
+    text_cfg = DistilBertConfig()
+    if vocab_size is not None:
+        text_cfg = DistilBertConfig(vocab_size=vocab_size)
+    attn = "pallas" if (cfg.use_pallas == "always" or (
+        cfg.use_pallas == "auto" and jax.default_backend() == "tpu")) else "xla"
+    return CLIPModel(cfg, text_config=text_cfg, attn_impl=attn), text_cfg
+
+
+def _tokenizer(cfg: Config):
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer
+    if not cfg.vocab_file:
+        raise SystemExit(
+            "no vocab available: pass --set vocab_file=... (HF-format "
+            "vocab.txt; build one offline with the build-vocab subcommand)")
+    return WordPieceTokenizer.from_vocab_file(cfg.vocab_file)
+
+
+# ---------------------------------------------------------------------------
+
+def cmd_train(args) -> None:
+    import jax
+    import numpy as np
+
+    from mae_clip_tpu.data.coco import get_coco_captions_df
+    from mae_clip_tpu.data.flickr import make_train_valid_dfs
+    from mae_clip_tpu.data.pipeline import CaptionDataset, make_loader
+    from mae_clip_tpu.parallel.mesh import (maybe_initialize_distributed,
+                                            mesh_from_config)
+    from mae_clip_tpu.train.checkpoint import CheckpointManager
+    from mae_clip_tpu.train.loop import Trainer
+    from mae_clip_tpu.train.metrics import MetricWriter
+
+    maybe_initialize_distributed()
+    cfg = _load_config(args)
+
+    # Data: COCO json pair (reference main.py:87-88) or Flickr captions dir
+    # (reference main.py:20-31).
+    if args.coco_train:
+        train_df = get_coco_captions_df(args.coco_train)
+        valid_df = get_coco_captions_df(args.coco_val or args.coco_train)
+    elif args.captions_dir:
+        cfg = cfg.replace(captions_path=args.captions_dir)
+        train_df, valid_df = make_train_valid_dfs(args.captions_dir,
+                                                  debug=cfg.debug)
+    else:
+        raise SystemExit("pass --coco-train/--coco-val or --captions-dir")
+
+    tokenizer = _tokenizer(cfg)
+    model, text_cfg = _build_model(cfg, vocab_size=tokenizer.vocab_size)
+
+    def make_ds(df):
+        return CaptionDataset(df["image"].values, df["caption"].values,
+                              tokenizer, image_path=cfg.image_path,
+                              size=cfg.size, max_length=cfg.max_length)
+
+    train_ds, valid_ds = make_ds(train_df), make_ds(valid_df)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = mesh_from_config(cfg.mesh)
+
+    rng = np.random.default_rng(cfg.seed)
+    example = next(make_loader(train_ds, cfg.batch_size, num_threads=1))
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, mask_rng=jax.random.PRNGKey(1))
+    )(jax.random.PRNGKey(cfg.seed),
+      {k: v for k, v in example.items() if k != "caption"})
+
+    mngr = CheckpointManager(cfg.checkpoints)
+    writer = MetricWriter(cfg.logdir)
+    trainer = Trainer(cfg, model, variables["params"],
+                      batch_stats=variables.get("batch_stats"), mesh=mesh,
+                      checkpoint_manager=mngr, writer=writer)
+
+    epoch_seed = [cfg.seed]
+
+    def train_loader():
+        epoch_seed[0] += 1
+        return make_loader(train_ds, cfg.batch_size, shuffle=True,
+                           seed=epoch_seed[0])
+
+    def valid_loader():
+        return make_loader(valid_ds, cfg.batch_size)
+
+    history = trainer.fit(train_loader, valid_loader)
+    mngr.wait()
+    print(json.dumps({"final_train_loss": history["train_loss"][-1],
+                      "final_valid_loss": history["valid_loss"][-1],
+                      "best_valid_loss": trainer.best_loss}))
+
+
+def cmd_retrieve(args) -> None:
+    import jax
+    import numpy as np
+
+    from mae_clip_tpu.data.coco import get_coco_captions_df
+    from mae_clip_tpu.data.pipeline import CaptionDataset, make_loader
+    from mae_clip_tpu.eval.retrieval import (compute_image_embeddings,
+                                             find_matches)
+    from mae_clip_tpu.train.checkpoint import import_reference_checkpoint
+
+    cfg = _load_config(args)
+    tokenizer = _tokenizer(cfg)
+    model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
+    variables = import_reference_checkpoint(args.checkpoint, cfg) \
+        if args.checkpoint.endswith(".pth") else _restore(args.checkpoint,
+                                                          cfg, model)
+
+    df = get_coco_captions_df(args.coco_val)
+    ds = CaptionDataset(df["image"].values, df["caption"].values, tokenizer,
+                        image_path=cfg.image_path, size=cfg.size,
+                        max_length=cfg.max_length)
+    gallery = compute_image_embeddings(
+        model, variables, make_loader(ds, cfg.batch_size))
+    matches = find_matches(model, variables, gallery, args.query,
+                           list(df["image"].values), tokenizer, n=args.n)
+    print(json.dumps({"query": args.query, "matches": matches}))
+
+
+def _restore(path: str, cfg: Config, model):
+    raise SystemExit(
+        "restoring framework-native checkpoints into the CLI needs the "
+        "model's abstract state; use train.checkpoint.CheckpointManager "
+        "from Python, or pass a reference .pth file")
+
+
+def cmd_zeroshot(args) -> None:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mae_clip_tpu.data.images import decode_image, host_preprocess
+    from mae_clip_tpu.eval.zeroshot import (build_zero_shot_classifier,
+                                            zero_shot_probs)
+    from mae_clip_tpu.train.checkpoint import import_reference_checkpoint
+
+    cfg = _load_config(args)
+    tokenizer = _tokenizer(cfg)
+    model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
+    variables = import_reference_checkpoint(args.checkpoint, cfg)
+
+    labels = args.labels.split(",")
+    classifier = build_zero_shot_classifier(model, variables, tokenizer,
+                                            labels, template=args.template)
+    img = host_preprocess(decode_image(args.image), cfg.size)[None]
+    feats = model.apply(variables, jnp.asarray(img),
+                        method=model.encode_image)
+    emb = model.apply(variables, feats, method=model.project_image)
+    probs = np.asarray(zero_shot_probs(emb, classifier))[0]
+    order = np.argsort(-probs)
+    print(json.dumps({labels[i]: float(probs[i]) for i in order}))
+
+
+def cmd_import_pth(args) -> None:
+    import jax
+
+    from mae_clip_tpu.train.checkpoint import import_reference_checkpoint
+    import orbax.checkpoint as ocp
+
+    cfg = _load_config(args)
+    variables = import_reference_checkpoint(args.pth, cfg)
+    ckptr = ocp.StandardCheckpointer()
+    import os
+    ckptr.save(os.path.abspath(args.out), variables)
+    ckptr.wait_until_finished()
+    n = len(jax.tree_util.tree_leaves(variables))
+    print(json.dumps({"imported_arrays": n, "out": args.out}))
+
+
+def cmd_build_vocab(args) -> None:
+    from mae_clip_tpu.data.tokenizer import build_vocab, save_vocab
+
+    texts: List[str] = []
+    if args.captions.endswith(".json"):
+        from mae_clip_tpu.data.coco import coco_captions_records
+        texts = [c for _, c in coco_captions_records(args.captions)]
+    else:
+        import pandas as pd
+        texts = pd.read_csv(args.captions)["caption"].astype(str).tolist()
+    vocab = build_vocab(texts, vocab_size=args.vocab_size)
+    save_vocab(vocab, args.out)
+    print(json.dumps({"vocab_size": len(vocab), "out": args.out}))
+
+
+# ---------------------------------------------------------------------------
+
+def main(argv: Optional[List[str]] = None) -> None:
+    parser = argparse.ArgumentParser(prog="mae_clip_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train CLIP(+MAE) on captions data")
+    _add_config_args(p)
+    p.add_argument("--coco-train")
+    p.add_argument("--coco-val")
+    p.add_argument("--captions-dir")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("retrieve", help="text->image retrieval")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--coco-val", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("-n", type=int, default=9)
+    p.set_defaults(fn=cmd_retrieve)
+
+    p = sub.add_parser("zeroshot", help="zero-shot label probe on one image")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--image", required=True)
+    p.add_argument("--labels", required=True, help="comma-separated")
+    p.add_argument("--template", default="a photo of a {}")
+    p.set_defaults(fn=cmd_zeroshot)
+
+    p = sub.add_parser("import-pth",
+                       help="convert a reference .pth checkpoint")
+    _add_config_args(p)
+    p.add_argument("pth")
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_import_pth)
+
+    p = sub.add_parser("build-vocab",
+                       help="build a WordPiece vocab from captions")
+    p.add_argument("captions", help="COCO json or captions.csv")
+    p.add_argument("out")
+    p.add_argument("--vocab-size", type=int, default=8192)
+    p.set_defaults(fn=cmd_build_vocab)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

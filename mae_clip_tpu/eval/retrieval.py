@@ -1,0 +1,98 @@
+"""Text-to-image retrieval over a precomputed gallery.
+
+Functional twin of the reference inference path (reference:
+inference.py:13-56): build an image-embedding gallery from a loader, encode
+a text query, L2-normalize both sides, rank by dot product, ``topk(n*5)``
+with stride-5 dedup (five captions per image). Rendering is decoupled — the
+core returns filenames; a matplotlib grid helper is provided separately so
+headless/TPU-pod runs never import a display stack.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mae_clip_tpu.ops.retrieval import l2_normalize, retrieval_topk, strided_dedup
+
+
+def compute_image_embeddings(model, variables, loader: Iterable[Dict],
+                             ) -> jax.Array:
+    """Encode + project every image batch into one (N, proj_dim) gallery
+    (reference: inference.py:21-27)."""
+
+    @jax.jit
+    def embed(variables, images):
+        feats = model.apply(variables, images, method=model.encode_image)
+        return model.apply(variables, feats, method=model.project_image)
+
+    chunks: List[np.ndarray] = []
+    for batch in loader:
+        emb = embed(variables, jnp.asarray(batch["image"]))
+        valid = np.asarray(batch.get("valid",
+                                     np.ones(emb.shape[0], dtype=bool)))
+        chunks.append(np.asarray(emb)[valid])
+    return jnp.asarray(np.concatenate(chunks, axis=0))
+
+
+def encode_text_query(model, variables, tokenizer, query: str,
+                      max_length: Optional[int] = None) -> jax.Array:
+    enc = tokenizer.encode_batch([query], max_length=max_length)
+    ids = jnp.asarray(enc["input_ids"], jnp.int32)
+    mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+
+    @jax.jit
+    def embed(variables, ids, mask):
+        feats = model.apply(variables, ids, mask, method=model.encode_text)
+        return model.apply(variables, feats, method=model.project_text)
+
+    return embed(variables, ids, mask)
+
+
+def find_matches(model, variables, image_embeddings: jax.Array, query: str,
+                 image_filenames: Sequence[str], tokenizer, n: int = 9,
+                 dedup_stride: int = 5,
+                 max_length: Optional[int] = None) -> List[str]:
+    """Top-n image filenames for a text query (reference: inference.py:29-47).
+
+    ``dedup_stride=5`` reproduces the reference's ``indices[::5]`` skip over
+    the 5 duplicate captions per image in the COCO/Flickr galleries.
+    """
+    text_emb = encode_text_query(model, variables, tokenizer, query,
+                                 max_length)
+    _, indices = retrieval_topk(text_emb, image_embeddings,
+                                k=n * dedup_stride)
+    picked = strided_dedup(indices, n, dedup_stride)[0]
+    return [image_filenames[int(i)] for i in np.asarray(picked)]
+
+
+def show_matches(matches: Sequence[str], image_path: str = "") -> None:
+    """Optional 3x3 grid rendering (reference: inference.py:49-56)."""
+    import matplotlib.pyplot as plt
+    from mae_clip_tpu.data.images import decode_image
+
+    _, axes = plt.subplots(3, 3, figsize=(10, 10))
+    for match, ax in zip(matches, axes.flatten()):
+        path = f"{image_path}/{match}" if image_path else match
+        ax.imshow(decode_image(path))
+        ax.axis("off")
+    plt.show()
+
+
+def recall_at_k(text_embeddings: jax.Array, image_embeddings: jax.Array,
+                text_to_image: np.ndarray, ks: Sequence[int] = (1, 5, 10)
+                ) -> Dict[str, float]:
+    """Retrieval recall@K: fraction of text queries whose ground-truth image
+    ranks in the top K (the benchmark metric in BASELINE.json)."""
+    kmax = max(ks)
+    _, indices = retrieval_topk(text_embeddings, image_embeddings, k=kmax)
+    indices = np.asarray(indices)
+    gt = np.asarray(text_to_image)[:, None]
+    out = {}
+    for k in ks:
+        hits = (indices[:, :k] == gt).any(axis=1)
+        out[f"recall@{k}"] = float(hits.mean())
+    return out

@@ -1,0 +1,89 @@
+"""Zero-shot classification via prompt embeddings.
+
+Reproduces the reference's notebook protocol (reference: CIFAR.ipynb cells
+5-10 and classifier.ipynb cells 4-8): build prompts "a photo of a {c}" for
+each class, encode + project, L2-normalize both sides, score with
+``softmax(100 * img_n @ txt_n.T)``, report top-k. Everything is batched and
+jitted; class prompts are encoded once into a (C, D) classifier matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mae_clip_tpu.ops.retrieval import l2_normalize
+
+
+def build_zero_shot_classifier(model, variables, tokenizer,
+                               class_names: Sequence[str],
+                               template: str = "a photo of a {}",
+                               max_length: Optional[int] = None) -> jax.Array:
+    """(C, proj_dim) matrix of L2-normalized class-prompt embeddings."""
+    prompts = [template.format(c) for c in class_names]
+    enc = tokenizer.encode_batch(prompts, max_length=max_length)
+    ids = jnp.asarray(enc["input_ids"], jnp.int32)
+    mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+
+    @jax.jit
+    def embed(variables, ids, mask):
+        feats = model.apply(variables, ids, mask, method=model.encode_text)
+        proj = model.apply(variables, feats, method=model.project_text)
+        return l2_normalize(proj)
+
+    return embed(variables, ids, mask)
+
+
+@jax.jit
+def zero_shot_probs(image_embeddings: jax.Array,
+                    classifier: jax.Array,
+                    scale: float = 100.0) -> jax.Array:
+    """softmax(scale * img_n @ class_n.T) — reference CIFAR.ipynb cell 9."""
+    img_n = l2_normalize(image_embeddings.astype(jnp.float32))
+    logits = scale * jnp.matmul(img_n, classifier.T.astype(jnp.float32),
+                                preferred_element_type=jnp.float32)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def zero_shot_accuracy(model, variables, loader: Iterable[Dict],
+                       classifier: jax.Array,
+                       ks: Sequence[int] = (1, 5)) -> Dict[str, float]:
+    """Top-k zero-shot accuracy over an (image, label) loader.
+
+    Loader batches: {"image": (B,H,W,C), "label": (B,), optional "valid"}.
+    """
+
+    @jax.jit
+    def embed(variables, images):
+        feats = model.apply(variables, images, method=model.encode_image)
+        return model.apply(variables, feats, method=model.project_image)
+
+    kmax = max(ks)
+    hits = {k: 0 for k in ks}
+    total = 0
+    for batch in loader:
+        emb = embed(variables, jnp.asarray(batch["image"]))
+        probs = zero_shot_probs(emb, classifier)
+        topk = np.asarray(jax.lax.top_k(probs, kmax)[1])
+        labels = np.asarray(batch["label"])
+        valid = np.asarray(batch.get("valid",
+                                     np.ones(len(labels), dtype=bool)))
+        for k in ks:
+            hits[k] += int(((topk[:, :k] == labels[:, None]).any(axis=1)
+                            & valid).sum())
+        total += int(valid.sum())
+    return {f"top{k}_accuracy": hits[k] / max(total, 1) for k in ks}
+
+
+def classify_one(model, variables, tokenizer, image_embedding: jax.Array,
+                 labels: Sequence[str], template: str = "a photo of a {}",
+                 top: int = 5) -> List[Tuple[str, float]]:
+    """Free-form label probe for one image (reference classifier.ipynb)."""
+    classifier = build_zero_shot_classifier(model, variables, tokenizer,
+                                            labels, template)
+    probs = np.asarray(zero_shot_probs(image_embedding[None], classifier))[0]
+    order = np.argsort(-probs)[:top]
+    return [(labels[i], float(probs[i])) for i in order]

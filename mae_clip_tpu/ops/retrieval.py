@@ -1,0 +1,87 @@
+"""Fused retrieval: L2-normalize -> similarity matmul -> top-k, one jit.
+
+The reference's retrieval path (reference: inference.py:42-47) normalizes
+both sides, does ``text_n @ gallery_n.T``, then ``topk(n*5)`` with a
+stride-5 dedup (five captions per image in the gallery). Here the whole
+thing is one compiled function with the gallery scanned in chunks so
+arbitrarily large galleries never materialize a full (Q, N) score matrix in
+HBM: each chunk's scores are merged into a running top-k (monoid merge:
+concat + top_k), which XLA keeps entirely on-device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jax.Array, axis: int = -1,
+                 eps: float = 1e-12) -> jax.Array:
+    """torch F.normalize(p=2) semantics: x / max(||x||, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "normalize"))
+def retrieval_topk(queries: jax.Array, gallery: jax.Array, k: int,
+                   chunk_size: int = 8192, normalize: bool = True
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Top-k gallery indices per query by cosine/dot similarity.
+
+    Args:
+      queries: (Q, D) query embeddings (text side in the reference).
+      gallery: (N, D) gallery embeddings (precomputed image side).
+      k: number of neighbours.
+      chunk_size: gallery rows scored per scan step (memory bound).
+      normalize: L2-normalize both sides first (reference inference.py:42-43).
+
+    Returns:
+      (scores (Q, k), indices (Q, k)) sorted descending.
+    """
+    q = queries.astype(jnp.float32)
+    g = gallery.astype(jnp.float32)
+    if normalize:
+        q = l2_normalize(q)
+        g = l2_normalize(g)
+
+    n, d = g.shape
+    nq = q.shape[0]
+    if n <= chunk_size:
+        scores = jnp.matmul(q, g.T, preferred_element_type=jnp.float32)
+        return jax.lax.top_k(scores, k)
+
+    # Pad the gallery to a whole number of chunks; padded rows score -inf.
+    num_chunks = -(-n // chunk_size)
+    pad = num_chunks * chunk_size - n
+    g_p = jnp.pad(g, ((0, pad), (0, 0)))
+    chunks = g_p.reshape(num_chunks, chunk_size, d)
+    base_ids = jnp.arange(chunk_size)
+
+    def body(carry, inp):
+        best_s, best_i = carry
+        chunk, cidx = inp
+        s = jnp.matmul(q, chunk.T, preferred_element_type=jnp.float32)
+        ids = base_ids[None, :] + cidx * chunk_size
+        valid = ids < n
+        s = jnp.where(valid, s, -jnp.inf)
+        cs = jnp.concatenate([best_s, s], axis=1)
+        ci = jnp.concatenate([best_i, jnp.broadcast_to(ids, (nq, chunk_size))],
+                             axis=1)
+        ts, ti_local = jax.lax.top_k(cs, k)
+        ti = jnp.take_along_axis(ci, ti_local, axis=1)
+        return (ts, ti), None
+
+    init = (jnp.full((nq, k), -jnp.inf, jnp.float32),
+            jnp.zeros((nq, k), jnp.int32))
+    (scores, indices), _ = jax.lax.scan(
+        body, init, (chunks, jnp.arange(num_chunks)))
+    return scores, indices
+
+
+def strided_dedup(indices: jax.Array, n: int, stride: int = 5) -> jax.Array:
+    """The reference's duplicate-caption skip: take every ``stride``-th hit
+    from the top n*stride (reference: inference.py:46-47 ``indices[::5]``)."""
+    return indices[..., ::stride][..., :n]

@@ -1,0 +1,126 @@
+"""Retrieval + zero-shot eval: math parity vs torch oracles of the
+reference protocols (inference.py:42-47, CIFAR.ipynb cell 9)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from mae_clip_tpu.ops.retrieval import (l2_normalize, retrieval_topk,
+                                        strided_dedup)
+from mae_clip_tpu.eval.retrieval import recall_at_k
+from mae_clip_tpu.eval.zeroshot import zero_shot_probs
+
+
+def test_l2_normalize_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, 7)).astype(np.float32)
+    ours = np.asarray(l2_normalize(jnp.array(x)))
+    theirs = F.normalize(torch.tensor(x), p=2, dim=-1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_retrieval_topk_matches_torch_topk():
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    g = rng.normal(size=(50, 16)).astype(np.float32)
+    scores, idx = retrieval_topk(jnp.array(q), jnp.array(g), k=10)
+
+    qn = F.normalize(torch.tensor(q), p=2, dim=-1)
+    gn = F.normalize(torch.tensor(g), p=2, dim=-1)
+    t_scores, t_idx = torch.topk(qn @ gn.T, 10)
+    np.testing.assert_allclose(np.asarray(scores), t_scores.numpy(),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), t_idx.numpy())
+
+
+def test_retrieval_topk_chunked_equals_unchunked():
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(4, 8)).astype(np.float32)
+    g = rng.normal(size=(1000, 8)).astype(np.float32)
+    s1, i1 = retrieval_topk(jnp.array(q), jnp.array(g), k=7,
+                            chunk_size=4096)   # single-shot path
+    s2, i2 = retrieval_topk(jnp.array(q), jnp.array(g), k=7,
+                            chunk_size=128)    # scan path, ragged last chunk
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_strided_dedup_reference_semantics():
+    """indices[::5][:n] — skip the 5 duplicate captions per image."""
+    idx = jnp.arange(45)[None, :]
+    picked = strided_dedup(idx, n=9, stride=5)
+    np.testing.assert_array_equal(np.asarray(picked)[0],
+                                  np.arange(0, 45, 5))
+
+
+def test_recall_at_k_perfect_and_random():
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(20, 8)).astype(np.float32)
+    # Perfect: text embedding == its image embedding.
+    out = recall_at_k(jnp.array(emb), jnp.array(emb), np.arange(20),
+                      ks=(1, 5))
+    assert out["recall@1"] == 1.0
+    assert out["recall@5"] == 1.0
+    # Wrong mapping: recall@1 nearly always 0.
+    out2 = recall_at_k(jnp.array(emb), jnp.array(emb),
+                       np.roll(np.arange(20), 1), ks=(1,))
+    assert out2["recall@1"] == 0.0
+
+
+def test_zero_shot_probs_matches_reference_math():
+    rng = np.random.default_rng(4)
+    img = rng.normal(size=(2, 16)).astype(np.float32)
+    cls = rng.normal(size=(10, 16)).astype(np.float32)
+    cls_n = np.asarray(l2_normalize(jnp.array(cls)))
+    ours = np.asarray(zero_shot_probs(jnp.array(img), jnp.array(cls_n)))
+
+    img_t = F.normalize(torch.tensor(img), p=2, dim=-1)
+    cls_t = torch.tensor(cls_n)
+    theirs = (100.0 * img_t @ cls_t.T).softmax(dim=-1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+    np.testing.assert_allclose(ours.sum(-1), 1.0, atol=1e-5)
+
+
+def test_end_to_end_retrieval_with_tiny_model():
+    """find_matches through a real (tiny) model + tokenizer."""
+    from mae_clip_tpu.config import Config
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    from mae_clip_tpu.models.vit import ViTConfig
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+    from mae_clip_tpu.eval.retrieval import (compute_image_embeddings,
+                                             find_matches)
+
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=16,
+                 compute_dtype="float32", max_length=16)
+    model = CLIPModel(
+        cfg,
+        text_config=DistilBertConfig(vocab_size=64, dim=16, n_layers=1,
+                                     n_heads=2, hidden_dim=32,
+                                     max_position_embeddings=32),
+        vit_config=ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                             n_heads=2))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.array(rng.normal(size=(4, 16, 16, 3)).astype(np.float32)),
+        "input_ids": jnp.array(rng.integers(0, 64, (4, 8)).astype(np.int32)),
+        "attention_mask": jnp.ones((4, 8), dtype=jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    loader = [{"image": np.asarray(batch["image"]),
+               "valid": np.array([True, True, True, False])}]
+    gallery = compute_image_embeddings(model, variables, loader)
+    assert gallery.shape == (3, 8)   # invalid row dropped
+
+    vocab = build_vocab(["a red thing", "a blue thing"], vocab_size=64,
+                        min_frequency=1)
+    tok = WordPieceTokenizer(vocab)
+    names = ["a.jpg", "b.jpg", "c.jpg"]
+    matches = find_matches(model, variables, gallery, "a red thing", names,
+                           tok, n=2, dedup_stride=1)
+    assert len(matches) == 2
+    assert set(matches) <= set(names)
