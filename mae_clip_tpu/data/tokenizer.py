@@ -21,8 +21,41 @@ ctypes) accelerates bulk encoding when built — same algorithm, same outputs.
 from __future__ import annotations
 
 import collections
+import ctypes
+import pathlib
 import unicodedata
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+_NATIVE_LIB = None  # None = not probed; False = unavailable
+
+
+def _native_lib():
+    """Load native/libwordpiece.so (built by ``make -C native``) if present."""
+    global _NATIVE_LIB
+    if _NATIVE_LIB is None:
+        lib = False
+        cand = (pathlib.Path(__file__).resolve().parents[2] / "native"
+                / "libwordpiece.so")
+        if cand.exists():
+            try:
+                lib = ctypes.CDLL(str(cand))
+                lib.wp_new.restype = ctypes.c_void_p
+                lib.wp_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+                lib.wp_free.argtypes = [ctypes.c_void_p]
+                lib.wp_encode_words.restype = ctypes.c_int64
+                lib.wp_encode_words.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+                lib.wp_encode_corpus_ascii.restype = ctypes.c_int64
+                lib.wp_encode_corpus_ascii.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+            except OSError:
+                lib = False
+        _NATIVE_LIB = lib
+    return _NATIVE_LIB
 
 
 def _is_whitespace(ch: str) -> bool:
@@ -99,7 +132,8 @@ class WordPieceTokenizer:
     def __init__(self, vocab: Dict[str, int], lowercase: bool = True,
                  unk_token: str = "[UNK]", cls_token: str = "[CLS]",
                  sep_token: str = "[SEP]", pad_token: str = "[PAD]",
-                 max_input_chars_per_word: int = 100):
+                 max_input_chars_per_word: int = 100,
+                 use_native: str = "auto"):
         self.vocab = vocab
         self.ids_to_tokens = {i: t for t, i in vocab.items()}
         self.lowercase = lowercase
@@ -108,6 +142,23 @@ class WordPieceTokenizer:
         self.sep_token = sep_token
         self.pad_token = pad_token
         self.max_input_chars_per_word = max_input_chars_per_word
+        self._native = None
+        if use_native in ("auto", "always"):
+            lib = _native_lib()
+            if lib:
+                tokens = [t for t, _ in sorted(vocab.items(),
+                                               key=lambda kv: kv[1])]
+                buf = "\n".join(tokens).encode("utf-8")
+                self._native = (lib, lib.wp_new(buf, len(buf)))
+            elif use_native == "always":
+                raise RuntimeError(
+                    "native wordpiece requested but native/libwordpiece.so "
+                    "is not built (run: make -C native)")
+
+    def __del__(self):
+        native = getattr(self, "_native", None)
+        if native:
+            native[0].wp_free(native[1])
 
     # -- construction ---------------------------------------------------
     @classmethod
@@ -160,10 +211,70 @@ class WordPieceTokenizer:
         return [self.vocab.get(t, unk) for t in tokens]
 
     # -- encoding ---------------------------------------------------------
+    def _native_corpus_ascii(self, texts: Sequence[str]) -> List[List[int]]:
+        """Bulk-encode pure-ASCII texts in one C++ call."""
+        lib, handle = self._native
+        data = "".join(texts).encode("ascii")
+        n = len(texts)
+        offsets = (ctypes.c_int64 * (n + 1))()
+        pos = 0
+        for i, t in enumerate(texts):
+            offsets[i] = pos
+            pos += len(t)
+        offsets[n] = pos
+        cap = len(data) + 8 * n + 64
+        out = (ctypes.c_int32 * cap)()
+        counts = (ctypes.c_int32 * n)()
+        total = lib.wp_encode_corpus_ascii(handle, data, offsets, n,
+                                           int(self.lowercase), out, cap,
+                                           counts)
+        if total > cap:
+            cap = int(total)
+            out = (ctypes.c_int32 * cap)()
+            lib.wp_encode_corpus_ascii(handle, data, offsets, n,
+                                       int(self.lowercase), out, cap, counts)
+        result: List[List[int]] = []
+        pos = 0
+        for i in range(n):
+            c = counts[i]
+            result.append(out[pos:pos + c])
+            pos += c
+        return result
+
+    def _content_ids(self, text: str) -> List[int]:
+        if self._native is not None:
+            if text.isascii():
+                return self._native_corpus_ascii([text])[0]
+            lib, handle = self._native
+            words = " ".join(basic_tokenize(text, self.lowercase))
+            encoded = words.encode("utf-8")
+            cap = max(len(encoded) + 8, 64)
+            out = (ctypes.c_int32 * cap)()
+            n = lib.wp_encode_words(handle, encoded, out, cap)
+            if n > cap:  # pathological caption longer than its bytes+8
+                out = (ctypes.c_int32 * n)()
+                n = lib.wp_encode_words(handle, encoded, out, n)
+            return list(out[:n])
+        return self.convert_tokens_to_ids(self.tokenize(text))
+
+    def _content_ids_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        if self._native is None:
+            return [self._content_ids(t) for t in texts]
+        ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
+        result: List[Optional[List[int]]] = [None] * len(texts)
+        if ascii_idx:
+            bulk = self._native_corpus_ascii([texts[i] for i in ascii_idx])
+            for i, ids in zip(ascii_idx, bulk):
+                result[i] = ids
+        for i, t in enumerate(texts):
+            if result[i] is None:
+                result[i] = self._content_ids(t)
+        return result  # type: ignore[return-value]
+
     def encode(self, text: str, max_length: Optional[int] = None
                ) -> List[int]:
         """[CLS] tokens [SEP], truncated to max_length total."""
-        ids = self.convert_tokens_to_ids(self.tokenize(text))
+        ids = self._content_ids(text)
         if max_length is not None:
             ids = ids[: max_length - 2]
         return ([self.vocab[self.cls_token]] + ids
@@ -175,7 +286,11 @@ class WordPieceTokenizer:
                      ) -> Dict[str, List[List[int]]]:
         """HF-style batch encode: ``padding=True`` semantics (pad to the
         longest in THIS list) unless ``fixed_length`` pins a static width."""
-        encoded = [self.encode(t, max_length) for t in texts]
+        cls_id = self.vocab[self.cls_token]
+        sep_id = self.vocab[self.sep_token]
+        cut = (max_length - 2) if max_length is not None else None
+        encoded = [[cls_id] + list(ids[:cut]) + [sep_id]
+                   for ids in self._content_ids_batch(texts)]
         width = fixed_length if fixed_length is not None else max(
             (len(e) for e in encoded), default=0)
         pad = self.pad_id

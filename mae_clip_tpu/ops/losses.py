@@ -164,6 +164,136 @@ def global_clip_soft_ce_loss(
     return global_sum / jnp.maximum(global_count, 1.0)
 
 
+def global_clip_soft_ce_loss_chunked(
+    image_embeddings: jax.Array,
+    text_embeddings: jax.Array,
+    temperature: float = 1.0,
+    valid: Optional[jax.Array] = None,
+    axis_name: str = "data",
+    chunk_size: int = 1024,
+) -> jax.Array:
+    """Blockwise global contrastive loss: same math as
+    :func:`global_clip_soft_ce_loss` without ever materializing a
+    (B_local, global_B) matrix.
+
+    For a 32k global batch the unchunked loss needs four 32k-wide score
+    matrices per shard; this version streams the gathered embeddings in
+    ``chunk_size`` columns with flash-style online logsumexp (cf. "Breaking
+    the Memory Barrier", arXiv:2410.17243), so peak memory is
+    O(B_local x chunk_size) regardless of global batch. Two passes:
+
+    1. online logsumexp of the soft-target similarity rows (Z_sim) and of
+       both logits orientations (Z_log, Z_logT);
+    2. Z_sim is all-gathered (a (GB,) vector - the only global state), then
+       expectation terms stream again per chunk.
+
+    Gradients flow through both scans and the gathers (scan/while are
+    differentiable; all_gather's transpose is psum_scatter).
+    """
+    img = image_embeddings.astype(jnp.float32)
+    txt = text_embeddings.astype(jnp.float32)
+    b_local, dim = img.shape
+    if valid is None:
+        valid = jnp.ones((b_local,), dtype=bool)
+    t = temperature
+
+    g_img = jax.lax.all_gather(img, axis_name, tiled=True)      # (GB, D)
+    g_txt = jax.lax.all_gather(txt, axis_name, tiled=True)
+    g_valid = jax.lax.all_gather(valid, axis_name, tiled=True)
+    gb = g_img.shape[0]
+    num_chunks = -(-gb // chunk_size)
+    pad = num_chunks * chunk_size - gb
+
+    def chunks_of(x, fill=0.0):
+        xp = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                     constant_values=fill)
+        return xp.reshape((num_chunks, chunk_size) + x.shape[1:])
+
+    c_img = chunks_of(g_img)
+    c_txt = chunks_of(g_txt)
+    c_valid = chunks_of(g_valid.astype(jnp.float32))
+
+    def row_scores(ci, ct, kind):
+        """(B_local, chunk) scores of the requested matrix's local rows."""
+        if kind == "sim":
+            return (jnp.matmul(img, ci.T, preferred_element_type=jnp.float32)
+                    + jnp.matmul(txt, ct.T,
+                                 preferred_element_type=jnp.float32)) / 2 * t
+        if kind == "logits":       # rows = local texts vs global images
+            return jnp.matmul(txt, ci.T,
+                              preferred_element_type=jnp.float32) / t
+        # rows = local images vs global texts (logits.T rows)
+        return jnp.matmul(img, ct.T, preferred_element_type=jnp.float32) / t
+
+    # --- pass 1: online logsumexp for sim / logits / logitsT rows ---
+    def lse_pass(carry, chunk):
+        ci, ct, cv = chunk
+        out = []
+        for (m, s), kind in zip(carry, ("sim", "logits", "logitsT")):
+            x = jnp.where(cv[None, :] > 0, row_scores(ci, ct, kind),
+                          _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(x, axis=1))
+            s_new = (s * jnp.exp(m - m_new)
+                     + jnp.sum(jnp.exp(x - m_new[:, None]), axis=1))
+            out.append((m_new, s_new))
+        return tuple(out), None
+
+    def _varying(x):
+        # Mark the scan carry as varying over the data axis (shard_map VMA
+        # tracking): the body mixes it with sharded operands.
+        return jax.lax.pvary(x, axis_name)
+
+    init = tuple((_varying(jnp.full((b_local,), -jnp.inf)),
+                  _varying(jnp.zeros((b_local,))))
+                 for _ in range(3))
+    (m_sim, s_sim), (m_log, s_log), (m_logT, s_logT) = jax.lax.scan(
+        lse_pass, init, (c_img, c_txt, c_valid))[0]
+    z_sim = m_sim + jnp.log(s_sim)       # (B_local,)
+    z_log = m_log + jnp.log(s_log)
+    z_logT = m_logT + jnp.log(s_logT)
+
+    # The image-side targets need row normalizers of ALL global sim rows.
+    g_z_sim = jax.lax.all_gather(z_sim, axis_name, tiled=True)   # (GB,)
+    c_z_sim = chunks_of(g_z_sim, fill=0.0)
+
+    # --- pass 2: expectation terms ---
+    # texts_loss[i]  = z_log[i]  - sum_j p_sim[i,j] * logits[i,j]
+    # images_loss[i] = sum_j t_ji * (z_logT[i] - logitsT[i,j]),
+    #   with t_ji = exp(sim[j,i] - z_sim[j]) and sum_j t_ji == 1 over valid j.
+    def acc_pass(carry, chunk):
+        acc_txt, acc_img = carry
+        ci, ct, cv, cz = chunk
+        sim = row_scores(ci, ct, "sim")
+        logits = row_scores(ci, ct, "logits")
+        logitsT = row_scores(ci, ct, "logitsT")
+        p_sim = jnp.where(cv[None, :] > 0,
+                          jnp.exp(sim - z_sim[:, None]), 0.0)
+        acc_txt = acc_txt + jnp.sum(p_sim * logits, axis=1)
+        # sim[j, i] for global j in this chunk == sim rows transposed:
+        # row_scores computes local-row scores; entry (i, jc) here equals
+        # sim[local_i, global_jc] == sim[global_jc, local_i] by symmetry of
+        # the (img@img.T + txt@txt.T)/2 matrix.
+        t_cols = jnp.where(cv[None, :] > 0,
+                           jnp.exp(sim - cz[None, :]), 0.0)
+        acc_img = acc_img + jnp.sum(t_cols * (z_logT[:, None] - logitsT),
+                                    axis=1)
+        return (acc_txt, acc_img), None
+
+    (acc_txt, acc_img), _ = jax.lax.scan(
+        acc_pass, (_varying(jnp.zeros((b_local,))),
+                   _varying(jnp.zeros((b_local,)))),
+        (c_img, c_txt, c_valid, c_z_sim))
+
+    texts_loss = z_log - acc_txt
+    images_loss = acc_img
+    per_row = (images_loss + texts_loss) / 2.0
+    per_row = jnp.where(valid, per_row, 0.0)
+    global_sum = jax.lax.psum(jnp.sum(per_row), axis_name)
+    global_count = jax.lax.psum(jnp.sum(valid.astype(jnp.float32)),
+                                axis_name)
+    return global_sum / jnp.maximum(global_count, 1.0)
+
+
 def mae_reconstruction_loss(
     pred_patches: jax.Array,
     target_patches: jax.Array,

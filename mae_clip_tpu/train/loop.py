@@ -47,8 +47,15 @@ def _clip_loss_fn(cfg: Config, mesh: Optional[Mesh]) -> Callable:
             img, txt, cfg.temperature, valid)
 
     spec = P(data_axis)
-    fn = functools.partial(losses_lib.global_clip_soft_ce_loss,
-                           temperature=cfg.temperature, axis_name=data_axis)
+    if cfg.loss_chunk_size > 0:
+        fn = functools.partial(losses_lib.global_clip_soft_ce_loss_chunked,
+                               temperature=cfg.temperature,
+                               axis_name=data_axis,
+                               chunk_size=cfg.loss_chunk_size)
+    else:
+        fn = functools.partial(losses_lib.global_clip_soft_ce_loss,
+                               temperature=cfg.temperature,
+                               axis_name=data_axis)
 
     def global_loss(img, txt, valid):
         return shard_map(

@@ -105,3 +105,45 @@ def test_tp_sharding_rules():
     assert sh["layer_0"]["ffn_lin1"]["kernel"].spec == P(None, "model")
     assert sh["layer_0"]["ffn_lin2"]["kernel"].spec == P("model", None)
     assert sh["layer_0"]["sa_layer_norm"]["scale"].spec == P()
+
+
+def _chunked_loss_fn(mesh, temperature=1.0, chunk_size=4):
+    from mae_clip_tpu.ops.losses import global_clip_soft_ce_loss_chunked
+    spec = P("data")
+    fn = functools.partial(global_clip_soft_ce_loss_chunked,
+                           temperature=temperature, axis_name="data",
+                           chunk_size=chunk_size)
+    return shard_map(lambda i, t, v: fn(i, t, valid=v), mesh=mesh,
+                     in_specs=(spec, spec, spec), out_specs=P())
+
+
+def test_chunked_loss_matches_unchunked():
+    """Blockwise (memory-barrier) loss == unchunked, incl. ragged chunks."""
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(10)
+    img = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    txt = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    valid = np.ones((16,), dtype=bool)
+    valid[14:] = False
+    valid = jnp.array(valid)
+    local = clip_soft_ce_loss(img, txt, 0.5, valid)
+    with mesh:
+        for chunk in (4, 5, 16, 64):   # even, ragged, exact, oversize
+            got = _chunked_loss_fn(mesh, 0.5, chunk)(img, txt, valid)
+            np.testing.assert_allclose(float(got), float(local), atol=1e-5)
+
+
+def test_chunked_loss_gradients_match():
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(11)
+    img = jnp.array(rng.normal(size=(8, 4)).astype(np.float32))
+    txt = jnp.array(rng.normal(size=(8, 4)).astype(np.float32))
+    valid = jnp.ones((8,), dtype=bool)
+    g_local = jax.grad(lambda a, b: clip_soft_ce_loss(a, b, 1.0, valid),
+                       argnums=(0, 1))(img, txt)
+    fn = _chunked_loss_fn(mesh, 1.0, 3)
+    with mesh:
+        g_chunked = jax.grad(lambda a, b: fn(a, b, valid),
+                             argnums=(0, 1))(img, txt)
+    for a, b in zip(g_local, g_chunked):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
