@@ -24,10 +24,13 @@ import numpy as np
 
 TORCH_CPU_REFERENCE_PAIRS_PER_SEC = 2.274  # measured; see BASELINE.md
 
-BATCH = 256
-SEQ = 64
-WARMUP = 3
-STEPS = 10
+import os
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+SEQ = int(os.environ.get("BENCH_SEQ", "64"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+ATTN = os.environ.get("BENCH_ATTN", "")  # empty = shape-aware auto
 
 
 def main() -> None:
@@ -44,8 +47,8 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     cfg = flagship_tpu_config(batch_size=BATCH)
     text_cfg = DistilBertConfig()
-    model = CLIPModel(cfg, text_config=text_cfg,
-                      attn_impl="pallas" if on_tpu else "xla")
+    attn = ATTN or "auto"
+    model = CLIPModel(cfg, text_config=text_cfg, attn_impl=attn)
 
     rng = np.random.default_rng(0)
     batch = {

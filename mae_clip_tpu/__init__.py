@@ -9,10 +9,12 @@ the reference names but never shipped, designed for TPU meshes.
 __version__ = "0.1.0"
 
 from mae_clip_tpu.config import (Config, MAEConfig, MeshConfig,
-                                 flagship_tpu_config, notebook_config,
+                                 coco_full_config, flagship_tpu_config,
+                                 large_batch_mesh_config, notebook_config,
                                  reference_py_config)
 
 __all__ = [
     "Config", "MAEConfig", "MeshConfig",
     "reference_py_config", "notebook_config", "flagship_tpu_config",
+    "coco_full_config", "large_batch_mesh_config",
 ]

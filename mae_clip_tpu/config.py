@@ -183,7 +183,8 @@ def notebook_config(**kw: Any) -> Config:
 
 
 def flagship_tpu_config(**kw: Any) -> Config:
-    """ViT-S/16 + DistilBERT joint CLIP+MAE recipe tuned for TPU v5e."""
+    """ViT-S/16 + DistilBERT joint CLIP+MAE recipe tuned for TPU v5e.
+    (BASELINE.json configs 1-2: CLIP contrastive + joint MAE objective.)"""
     base = Config(
         recipe="py",
         model_name="vit_s16",
@@ -192,5 +193,32 @@ def flagship_tpu_config(**kw: Any) -> Config:
         compute_dtype="bfloat16",
         mae=MAEConfig(enabled=True),
         global_contrastive=True,
+    )
+    return base.replace(**kw)
+
+
+def coco_full_config(**kw: Any) -> Config:
+    """COCO-captions full training run (BASELINE.json config 3): the
+    reference ``.py`` recipe at TPU-appropriate batch, COCO adapters."""
+    base = reference_py_config(batch_size=256, compute_dtype="bfloat16",
+                               debug=False)
+    return base.replace(**kw)
+
+
+def large_batch_mesh_config(**kw: Any) -> Config:
+    """Large-batch global contrastive training on a multi-chip mesh
+    (BASELINE.json config 5): 32k global batch, embedding all-gather over
+    ICI, blockwise chunked loss so the 32k x 32k logits never materialize."""
+    base = Config(
+        recipe="py",
+        model_name="vit_s16",
+        image_embedding=384,
+        batch_size=32768,
+        compute_dtype="bfloat16",
+        global_contrastive=True,
+        loss_chunk_size=4096,
+        remat=True,
+        mesh=MeshConfig(data=-1, model=1),
+        mae=MAEConfig(enabled=True),
     )
     return base.replace(**kw)

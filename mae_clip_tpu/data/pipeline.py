@@ -71,13 +71,24 @@ def make_loader(dataset: CaptionDataset, batch_size: int,
                 shuffle: bool = False, seed: int = 0,
                 drop_last: bool = False, num_threads: int = 8,
                 prefetch: int = 2,
-                images: Optional[np.ndarray] = None
+                images: Optional[np.ndarray] = None,
+                host_id: int = 0, num_hosts: int = 1
                 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield static-shape batches; the ragged tail is padded + masked.
 
     ``images``: optional preloaded (N,H,W,C) array (e.g. synthetic or
     in-memory datasets) that bypasses file decode.
+
+    Multi-host: ``batch_size`` is the GLOBAL batch; each host yields its
+    contiguous ``batch_size // num_hosts`` slice of every global batch, so
+    all hosts run the same number of steps over the same seed-deterministic
+    order (cross-host determinism: the shuffle depends only on (seed, n)).
+    Only this host's images are decoded.
     """
+    if batch_size % num_hosts != 0:
+        raise ValueError(f"global batch {batch_size} not divisible by "
+                         f"num_hosts {num_hosts}")
+    local_bs = batch_size // num_hosts
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
@@ -86,9 +97,10 @@ def make_loader(dataset: CaptionDataset, batch_size: int,
     num_batches = n // batch_size if drop_last else -(-n // batch_size)
 
     def build_batch(bi: int) -> Dict[str, np.ndarray]:
-        idx = order[bi * batch_size:(bi + 1) * batch_size]
+        idx_global = order[bi * batch_size:(bi + 1) * batch_size]
+        idx = idx_global[host_id * local_bs:(host_id + 1) * local_bs]
         count = len(idx)
-        pad = batch_size - count
+        pad = local_bs - count
         if images is not None:
             imgs = images[idx]
         else:
@@ -105,7 +117,7 @@ def make_loader(dataset: CaptionDataset, batch_size: int,
             pad_mask = np.zeros((pad, mask.shape[1]), mask.dtype)
             pad_mask[:, 0] = 1
             mask = np.concatenate([mask, pad_mask])
-        valid = np.zeros((batch_size,), dtype=bool)
+        valid = np.zeros((local_bs,), dtype=bool)
         valid[:count] = True
         return {"image": imgs, "input_ids": ids, "attention_mask": mask,
                 "valid": valid}

@@ -147,6 +147,55 @@ def import_resnet50(sd: Mapping[str, Any], prefix: str = ""
 
 
 # ---------------------------------------------------------------------------
+# timm ViT (the reference's commented-out tower, modules.py:20-26:
+# 'vit_base_patch16_224...' with num_classes=0)
+# ---------------------------------------------------------------------------
+
+def import_timm_vit(sd: Mapping[str, Any], prefix: str = "") -> Dict:
+    """timm VisionTransformer state_dict -> params for models.vit.ViTEncoder.
+
+    Layout notes: timm's conv patch embed (D, C, P, P) becomes our
+    patchify-matmul kernel (P*P*C, D) via (D,C,P,P) -> (D,P,P,C) -> flatten
+    -> transpose, matching the (row, col, channel) patch vector order of
+    models.vit.patchify. Fused qkv stays fused (our attn_qkv)."""
+    sd = _as_numpy(sd)
+    p = prefix
+    params: Dict = {}
+
+    _set(params, ("cls_token",), sd[p + "cls_token"])
+    if p + "pos_embed" in sd:
+        _set(params, ("pos_embed",), sd[p + "pos_embed"])
+
+    w = sd[p + "patch_embed.proj.weight"]           # (D, C, P, P)
+    kernel = np.transpose(w, (0, 2, 3, 1)).reshape(w.shape[0], -1).T
+    _set(params, ("patch_embed", "proj", "kernel"), kernel)
+    _set(params, ("patch_embed", "proj", "bias"),
+         sd[p + "patch_embed.proj.bias"])
+
+    i = 0
+    while f"{p}blocks.{i}.norm1.weight" in sd:
+        bp = f"{p}blocks.{i}."
+        bn = f"block_{i}"
+        for ln_t, ln_o in (("norm1", "norm1"), ("norm2", "norm2")):
+            _set(params, (bn, ln_o, "scale"), sd[bp + f"{ln_t}.weight"])
+            _set(params, (bn, ln_o, "bias"), sd[bp + f"{ln_t}.bias"])
+        _set(params, (bn, "attn_qkv", "kernel"), sd[bp + "attn.qkv.weight"].T)
+        _set(params, (bn, "attn_qkv", "bias"), sd[bp + "attn.qkv.bias"])
+        _set(params, (bn, "attn_proj", "kernel"),
+             sd[bp + "attn.proj.weight"].T)
+        _set(params, (bn, "attn_proj", "bias"), sd[bp + "attn.proj.bias"])
+        _set(params, (bn, "mlp_fc1", "kernel"), sd[bp + "mlp.fc1.weight"].T)
+        _set(params, (bn, "mlp_fc1", "bias"), sd[bp + "mlp.fc1.bias"])
+        _set(params, (bn, "mlp_fc2", "kernel"), sd[bp + "mlp.fc2.weight"].T)
+        _set(params, (bn, "mlp_fc2", "bias"), sd[bp + "mlp.fc2.bias"])
+        i += 1
+
+    _set(params, ("norm", "scale"), sd[p + "norm.weight"])
+    _set(params, ("norm", "bias"), sd[p + "norm.bias"])
+    return params
+
+
+# ---------------------------------------------------------------------------
 # Full reference CLIPModel state_dict (reference: CLIP.py:9-21)
 # ---------------------------------------------------------------------------
 
@@ -166,10 +215,11 @@ def import_clip_state_dict(sd: Mapping[str, Any], model_name: str = "resnet50"
         rn_params, rn_stats = import_resnet50(sd, prefix="image_encoder.model.")
         params["image_encoder"] = rn_params
         collections["batch_stats"] = {"image_encoder": rn_stats}
+    elif model_name.startswith("vit"):
+        params["image_encoder"] = import_timm_vit(
+            sd, prefix="image_encoder.model.")
     else:
-        raise NotImplementedError(
-            f"importer for image tower {model_name!r} (reference checkpoints "
-            "only ever used resnet50)")
+        raise NotImplementedError(f"importer for image tower {model_name!r}")
 
     params["text_encoder"] = {
         "model": import_distilbert(sd, prefix="text_encoder.model.")}

@@ -151,3 +151,20 @@ def test_loader_drop_last(tiny_dataset):
                                images=images, num_threads=1))
     assert len(batches) == 2
     assert all(b["valid"].all() for b in batches)
+
+
+def test_loader_multihost_partitions_global_batch(tiny_dataset):
+    ds, images = tiny_dataset
+    single = list(make_loader(ds, batch_size=4, images=images,
+                              num_threads=1))
+    host0 = list(make_loader(ds, batch_size=4, images=images, num_threads=1,
+                             host_id=0, num_hosts=2))
+    host1 = list(make_loader(ds, batch_size=4, images=images, num_threads=1,
+                             host_id=1, num_hosts=2))
+    assert len(host0) == len(host1) == len(single)
+    for s, a, b in zip(single, host0, host1):
+        assert a["image"].shape[0] == 2 and b["image"].shape[0] == 2
+        merged_ids = np.concatenate([a["input_ids"], b["input_ids"]])
+        np.testing.assert_array_equal(merged_ids, s["input_ids"])
+        merged_valid = np.concatenate([a["valid"], b["valid"]])
+        np.testing.assert_array_equal(merged_valid, s["valid"])
