@@ -67,22 +67,44 @@ def main() -> None:
     state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
     step = make_train_step(model, tx, cfg)
 
-    for _ in range(WARMUP):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    # Two distinct device-resident batches, cycled, so no call ever repeats
+    # an identical (state, batch) pair (some remote runtimes cache results
+    # for identical inputs, which silently inflates throughput).
+    batch2 = dict(batch)
+    batch2["input_ids"] = (batch["input_ids"] + 1) % text_cfg.vocab_size
+    batches = [batch, batch2]
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    for i in range(WARMUP):
+        state, metrics = step(state, batches[i % 2])
+    jax.block_until_ready((metrics["loss"], state.params))
 
-    pairs_per_sec = STEPS * BATCH / dt
+    # Time the chain at two step counts and take the per-step cost from the
+    # DIFFERENCE: this cancels pipeline-fill and early-output effects (the
+    # loss buffer of step K can materialize before the chain's updates
+    # finish, so blocking on a single short chain under-measures).
+    def timed(k):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(k):
+            state, metrics = step(state, batches[i % 2])
+        jax.block_until_ready((metrics["loss"], state.params))
+        return time.perf_counter() - t0
+
+    k1, k2 = STEPS, 2 * STEPS
+    t1 = timed(k1)
+    t2 = timed(k2)
+    per_step = (t2 - t1) / (k2 - k1) if t2 > t1 else t2 / k2
+    # Guard against measurement artifacts: the two estimates must agree.
+    alt = t2 / k2
+    if abs(per_step - alt) / max(per_step, alt) > 0.5:
+        per_step = max(per_step, alt)   # take the conservative estimate
+
+    pairs_per_sec = BATCH / per_step
     print(json.dumps({
         "metric": "train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
-        "unit": "image-text pairs/sec/chip (ViT-S/16+MAE + DistilBERT, "
-                "bf16, batch 256, fwd+bwd+AdamW)",
+        "unit": f"image-text pairs/sec/chip (ViT-S/16+MAE + DistilBERT, "
+                f"bf16, batch {BATCH}, fwd+bwd+AdamW)",
         "vs_baseline": round(
             pairs_per_sec / TORCH_CPU_REFERENCE_PAIRS_PER_SEC, 2),
     }))
