@@ -74,30 +74,34 @@ def main() -> None:
     batch2["input_ids"] = (batch["input_ids"] + 1) % text_cfg.vocab_size
     batches = [batch, batch2]
 
+    # Synchronize via VALUE FETCHES (float(...)), never block_until_ready:
+    # remote-execution backends can report buffers "ready" before the device
+    # work completes; only a device->host value fetch is a true barrier
+    # (calibrated against a known-FLOPs matmul chain; see BASELINE.md).
     for i in range(WARMUP):
         state, metrics = step(state, batches[i % 2])
-    jax.block_until_ready((metrics["loss"], state.params))
+    float(metrics["loss"])
 
-    # Time the chain at two step counts and take the per-step cost from the
-    # DIFFERENCE: this cancels pipeline-fill and early-output effects (the
-    # loss buffer of step K can materialize before the chain's updates
-    # finish, so blocking on a single short chain under-measures).
+    # Per-step cost from the DIFFERENCE of two chain lengths: fetching the
+    # final loss forces every prior update in the chain but not the last
+    # step's backward; the difference cancels that edge plus fetch latency.
     def timed(k):
         nonlocal state
         t0 = time.perf_counter()
         for i in range(k):
             state, metrics = step(state, batches[i % 2])
-        jax.block_until_ready((metrics["loss"], state.params))
+        float(metrics["loss"])
         return time.perf_counter() - t0
 
     k1, k2 = STEPS, 2 * STEPS
     t1 = timed(k1)
     t2 = timed(k2)
     per_step = (t2 - t1) / (k2 - k1) if t2 > t1 else t2 / k2
-    # Guard against measurement artifacts: the two estimates must agree.
+    # Cross-check the two estimates; prefer the conservative one if they
+    # disagree badly (measurement artifact).
     alt = t2 / k2
     if abs(per_step - alt) / max(per_step, alt) > 0.5:
-        per_step = max(per_step, alt)   # take the conservative estimate
+        per_step = max(per_step, alt)
 
     pairs_per_sec = BATCH / per_step
     print(json.dumps({

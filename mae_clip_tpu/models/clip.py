@@ -92,21 +92,18 @@ class CLIPModel(nn.Module):
 
     # ------------------------------------------------------------------
     def encode_image(self, images: jax.Array, train: bool = False) -> jax.Array:
-        """Image features BEFORE projection (reference ImageEncoder output)."""
+        """Image features BEFORE projection (reference ImageEncoder output).
+
+        For MAE-enabled towers this is the FULL-sequence pass (all patches):
+        masking is a training-time regularizer; inference (retrieval /
+        zero-shot, reference inference.py:24) sees every patch.
+        """
         if self.cfg.model_name == "resnet50":
             return self.image_encoder(images, train=train)
         if self.cfg.mae.enabled:
-            # Full-sequence pass through the shared-MAE encoder for inference.
-            return self._mae_full_features(images, deterministic=not train)
+            return self.image_encoder.encode_full(images,
+                                                  deterministic=not train)
         return self.image_encoder(images, deterministic=not train)
-
-    def _mae_full_features(self, images, deterministic=True):
-        """Run the MAEViT encoder over ALL patches (mask_ratio effectively 0)."""
-        rng = jax.random.PRNGKey(0)  # irrelevant at ratio 0 path below
-        enc = self.image_encoder
-        # Reuse MAEViT with a zero-mask pass: gather of the identity permutation.
-        out = enc(images, rng, deterministic=deterministic)
-        return out.pooled if isinstance(out, MAEOutput) else out
 
     def encode_text(self, input_ids: jax.Array, attention_mask: jax.Array,
                     train: bool = False) -> jax.Array:

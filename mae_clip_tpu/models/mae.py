@@ -8,6 +8,13 @@ reconstruction. The encoder weights are SHARED with the CLIP image tower so
 the joint objective L = L_infonce + lambda * L_mae (BASELINE.json config 2)
 trains one tower.
 
+Two entry points over the same parameters:
+* ``__call__(images, mask_rng)`` — masked training pass (25% visible) +
+  decoder reconstruction; its pooled CLS also serves the FLIP-style joint
+  contrastive loss.
+* ``encode_full(images)`` — full-sequence inference pass (all patches, no
+  decoder) for retrieval / zero-shot.
+
 TPU-first details: static visible count via argsort-of-random-keys masking
 (ops/masking.py), gathers instead of boolean indexing, NHWC images, and the
 shared XLA/Pallas attention op inside every block.
@@ -45,86 +52,100 @@ class MAEOutput(NamedTuple):
 
 
 class MAEViT(nn.Module):
-    """ViT encoder (shared with CLIP) + MAE decoder.
-
-    ``encode`` runs the full-sequence CLIP path; ``__call__`` runs the masked
-    MAE path and also returns the pooled CLS feature of the *visible* pass so
-    a joint step can reuse one encoder invocation if desired.
-    """
+    """ViT encoder (shared with CLIP) + MAE decoder."""
 
     config: ViTConfig
     decoder: MAEDecoderConfig = MAEDecoderConfig()
     mask_ratio: float = 0.75
+    channels: int = 3
     attn_impl: str = "xla"
     attn_interpret: bool = False
     remat: bool = False
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
 
-    def _encoder_blocks(self):
+    def setup(self):
+        c = self.config
+        d = self.decoder
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        attn = dict(attn_impl=self.attn_impl,
+                    attn_interpret=self.attn_interpret)
+
+        self.patch_embed = PatchEmbed(c, **common)
+        self.cls_token = self.param("cls_token",
+                                    nn.initializers.normal(0.02),
+                                    (1, 1, c.dim), self.param_dtype)
         block_cls = ViTBlock
         if self.remat:
             block_cls = nn.remat(ViTBlock, static_argnums=(2,))
-        return [block_cls(self.config, attn_impl=self.attn_impl,
-                          attn_interpret=self.attn_interpret, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name=f"block_{i}")
-                for i in range(self.config.depth)]
+        self.blocks = [block_cls(c, **attn, **common, name=f"block_{i}")
+                       for i in range(c.depth)]
+        self.norm = LayerNorm(epsilon=1e-6, **common)
 
-    @nn.compact
+        self.decoder_embed = Dense(d.dim, **common)
+        self.mask_token = self.param("mask_token",
+                                     nn.initializers.normal(0.02),
+                                     (1, 1, d.dim), self.param_dtype)
+        dec_cfg = ViTConfig(image_size=c.image_size, patch_size=c.patch_size,
+                            dim=d.dim, depth=d.depth, n_heads=d.n_heads,
+                            mlp_ratio=d.mlp_ratio)
+        self.decoder_blocks = [
+            ViTBlock(dec_cfg, **attn, **common, name=f"decoder_block_{i}")
+            for i in range(d.depth)]
+        self.decoder_norm = LayerNorm(epsilon=1e-6, **common)
+        patch_dim = c.patch_size * c.patch_size * self.channels
+        self.decoder_pred = Dense(patch_dim, **common)
+
+    # ------------------------------------------------------------------
+    def _embed_patches(self, images: jax.Array) -> jax.Array:
+        c = self.config
+        x = self.patch_embed(images)
+        enc_pe = jnp.asarray(
+            sincos_pos_embed_2d(c.dim, c.grid_size, cls_token=True))[None]
+        return x + enc_pe[:, 1:, :].astype(x.dtype), enc_pe
+
+    def _run_encoder(self, tokens: jax.Array, enc_pe: jax.Array,
+                     deterministic: bool) -> jax.Array:
+        b = tokens.shape[0]
+        c = self.config
+        cls_tok = (jnp.broadcast_to(self.cls_token, (b, 1, c.dim))
+                   + enc_pe[:, :1, :]).astype(tokens.dtype)
+        x = jnp.concatenate([cls_tok, tokens], axis=1)
+        for block in self.blocks:
+            x = block(x, deterministic)
+        return self.norm(x)
+
+    def encode_full(self, images: jax.Array,
+                    deterministic: bool = True) -> jax.Array:
+        """Full-sequence CLIP-inference pass: pooled CLS over ALL patches."""
+        x, enc_pe = self._embed_patches(images)
+        return self._run_encoder(x, enc_pe, deterministic)[:, 0]
+
+    # ------------------------------------------------------------------
     def __call__(self, images: jax.Array, mask_rng: jax.Array,
                  deterministic: bool = True) -> MAEOutput:
         c = self.config
         b = images.shape[0]
-        n = c.num_patches
+        x, enc_pe = self._embed_patches(images)
 
-        # --- encoder over visible patches only ---
-        x = PatchEmbed(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                       name="patch_embed")(images)
-        enc_pe = jnp.asarray(
-            sincos_pos_embed_2d(c.dim, c.grid_size, cls_token=True))[None]
-        x = x + enc_pe[:, 1:, :].astype(x.dtype)
-
-        masking = random_masking(mask_rng, b, n, self.mask_ratio)
+        masking = random_masking(mask_rng, b, c.num_patches, self.mask_ratio)
         x_vis = gather_patches(x, masking.ids_keep)          # (B, K, D)
-
-        cls = self.param("cls_token", nn.initializers.normal(0.02),
-                         (1, 1, c.dim), self.param_dtype)
-        cls_tok = (jnp.broadcast_to(cls, (b, 1, c.dim))
-                   + enc_pe[:, :1, :]).astype(x_vis.dtype)
-        x_vis = jnp.concatenate([cls_tok, x_vis], axis=1)
-
-        for block in self._encoder_blocks():
-            x_vis = block(x_vis, deterministic)
-        x_vis = LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name="norm")(x_vis)
-        pooled = x_vis[:, 0]
+        encoded = self._run_encoder(x_vis, enc_pe, deterministic)
+        pooled = encoded[:, 0]
 
         # --- decoder ---
         d = self.decoder
-        y = Dense(d.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                  name="decoder_embed")(x_vis)
-        mask_token = self.param("mask_token", nn.initializers.normal(0.02),
-                                (1, 1, d.dim), self.param_dtype)
-        y_patches = scatter_with_mask_tokens(y[:, 1:], mask_token,
+        y = self.decoder_embed(encoded)
+        y_patches = scatter_with_mask_tokens(y[:, 1:], self.mask_token,
                                              masking.ids_restore)
         y = jnp.concatenate([y[:, :1], y_patches], axis=1)   # re-attach CLS
         dec_pe = jnp.asarray(
             sincos_pos_embed_2d(d.dim, c.grid_size, cls_token=True))[None]
         y = y + dec_pe.astype(y.dtype)
-
-        dec_cfg = ViTConfig(image_size=c.image_size, patch_size=c.patch_size,
-                            dim=d.dim, depth=d.depth, n_heads=d.n_heads,
-                            mlp_ratio=d.mlp_ratio)
-        for i in range(d.depth):
-            y = ViTBlock(dec_cfg, attn_impl=self.attn_impl,
-                         attn_interpret=self.attn_interpret, dtype=self.dtype,
-                         param_dtype=self.param_dtype,
-                         name=f"decoder_block_{i}")(y, deterministic)
-        y = LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="decoder_norm")(y)
-        patch_dim = c.patch_size * c.patch_size * images.shape[-1]
-        pred = Dense(patch_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="decoder_pred")(y)[:, 1:]          # drop CLS
+        for block in self.decoder_blocks:
+            y = block(y, deterministic)
+        y = self.decoder_norm(y)
+        pred = self.decoder_pred(y)[:, 1:]                   # drop CLS
 
         target = patchify(images, c.patch_size)
         return MAEOutput(pooled=pooled, pred_patches=pred,

@@ -99,3 +99,48 @@ def test_mae_grads_flow_to_encoder_and_decoder():
     # Encoder patch-embed must receive gradient (shared tower trains).
     g_pe = grads["patch_embed"]["proj"]["kernel"]
     assert float(jnp.linalg.norm(g_pe)) > 0
+
+
+def test_mae_encode_full_equals_zero_mask_pass():
+    """Full-sequence inference pass == masked pass at mask_ratio=0 (the
+    transformer is permutation-equivariant once pos-embeds are attached)."""
+    model0 = MAEViT(TINY, decoder=MAEDecoderConfig(dim=16, depth=1, n_heads=4),
+                    mask_ratio=0.0)
+    x = jnp.array(np.random.default_rng(7).normal(
+        size=(2, 32, 32, 3)).astype(np.float32))
+    variables = model0.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+    masked_pooled = model0.apply(variables, x, jax.random.PRNGKey(3)).pooled
+    full_pooled = model0.apply(variables, x, method=model0.encode_full)
+    np.testing.assert_allclose(np.asarray(full_pooled),
+                               np.asarray(masked_pooled), atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_clip_encode_image_uses_full_pass_for_mae():
+    """Retrieval features from a MAE tower must see all patches: two
+    different mask rngs must produce IDENTICAL encode_image output."""
+    from mae_clip_tpu.config import Config, MAEConfig
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=32,
+                 compute_dtype="float32", max_length=16,
+                 mae=MAEConfig(enabled=True, mask_ratio=0.75, decoder_dim=16,
+                               decoder_depth=1, decoder_heads=2))
+    model = CLIPModel(cfg,
+                      text_config=DistilBertConfig(vocab_size=64, dim=16,
+                                                   n_layers=1, n_heads=2,
+                                                   hidden_dim=32,
+                                                   max_position_embeddings=32),
+                      vit_config=TINY)
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.array(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+             "input_ids": jnp.array(rng.integers(0, 64, (2, 8)).astype(np.int32)),
+             "attention_mask": jnp.ones((2, 8), dtype=jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch,
+                           mask_rng=jax.random.PRNGKey(1))
+    f = model.apply(variables, batch["image"], method=model.encode_image)
+    assert f.shape == (2, 32)
+    # Train-path pooled (masked) differs from inference pooled (full).
+    out = model.apply(variables, batch, mask_rng=jax.random.PRNGKey(2))
+    assert out["image_embeddings"].shape == (2, 8)
