@@ -244,16 +244,50 @@ class Trainer:
         self.state = self.state.replace(
             opt_state=set_lr_scale(self.state.opt_state, scale))
 
-    def fit(self, train_loader_fn: Callable[[], Iterable],
-            valid_loader_fn: Callable[[], Iterable],
-            epochs: Optional[int] = None) -> Dict[str, Any]:
+    def restore(self, step: Optional[int] = None) -> int:
+        """Resume from a checkpoint: full TrainState (params, optimizer,
+        step, rng) + scheduler + best-loss tracking. Returns the restored
+        epoch number. The reference cannot do this at all - it saves only
+        ``model.state_dict()`` (reference main.py:121), losing the
+        optimizer; see SURVEY.md §5."""
+        from mae_clip_tpu.train.checkpoint import abstract_like
+        if self.checkpoint_manager is None:
+            raise ValueError("Trainer has no checkpoint_manager")
+        state, meta = self.checkpoint_manager.restore(
+            abstract_like(self.state), step)
+        self.state = state
+        if meta.get("scheduler"):
+            self.scheduler.load_state_dict(meta["scheduler"])
+        if meta.get("best_loss") is not None:
+            self.best_loss = meta["best_loss"]
+        restored = step if step is not None else \
+            self.checkpoint_manager.latest_step()
+        return int(restored)
+
+    @staticmethod
+    def _call_loader(fn: Callable, epoch: int):
+        """Loader factories may take the epoch index (for seeded shuffles)
+        or no arguments."""
+        try:
+            return fn(epoch)
+        except TypeError:
+            return fn()
+
+    def fit(self, train_loader_fn: Callable,
+            valid_loader_fn: Callable,
+            epochs: Optional[int] = None,
+            start_epoch: int = 0) -> Dict[str, Any]:
         """Full training run; returns history. Loader fns build fresh
-        per-epoch iterables (the reference reshuffles per epoch)."""
+        per-epoch iterables (the reference reshuffles per epoch); pass
+        ``start_epoch`` (e.g. ``trainer.restore() + 1``) to resume."""
         cfg = self.cfg
         history = {"train_loss": [], "valid_loss": []}
-        for epoch in range(epochs if epochs is not None else cfg.epochs):
-            train_meter = self.train_epoch(train_loader_fn())
-            valid_meter = self.valid_epoch(valid_loader_fn())
+        for epoch in range(start_epoch,
+                           epochs if epochs is not None else cfg.epochs):
+            train_meter = self.train_epoch(
+                self._call_loader(train_loader_fn, epoch))
+            valid_meter = self.valid_epoch(
+                self._call_loader(valid_loader_fn, epoch))
             # Reference quirk: with recipe='py' the epoch-mode scheduler is
             # never stepped (main.py:60-61,107) -> LR stays constant.
             if cfg.scheduler_step == "epoch" and cfg.recipe == "notebook":

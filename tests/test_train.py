@@ -214,3 +214,39 @@ def test_trainer_ragged_batch_metrics():
     meter = trainer.valid_epoch(iter([full, ragged]))
     assert meter.count == 8 + 5
     assert np.isfinite(meter.avg)
+
+
+def test_trainer_resume_continues_identically(tmp_path):
+    """Resume-from-checkpoint reproduces uninterrupted training exactly:
+    full TrainState (incl. optimizer + rng) roundtrips through Orbax."""
+    from mae_clip_tpu.train.checkpoint import CheckpointManager
+
+    def batches_for(epoch):
+        rng = np.random.default_rng(100 + epoch)
+        return iter([{k: np.asarray(v) for k, v in tiny_batch(rng).items()}
+                     for _ in range(2)])
+
+    def run(ckpt_dir, epochs, resume=False):
+        cfg = tiny_cfg(epochs=epochs, checkpoints=str(ckpt_dir))
+        model, variables, _ = build(cfg)
+        mngr = CheckpointManager(str(ckpt_dir))
+        trainer = Trainer(cfg, model, variables["params"],
+                          checkpoint_manager=mngr)
+        start = 0
+        if resume:
+            start = trainer.restore() + 1
+        hist = trainer.fit(batches_for, batches_for, start_epoch=start)
+        mngr.wait()
+        return hist, trainer
+
+    straight, _ = run(tmp_path / "a", epochs=3)
+
+    # Interrupted: 2 epochs, then a brand-new Trainer resumes for epoch 3.
+    first, _ = run(tmp_path / "b", epochs=2)
+    resumed, tr = run(tmp_path / "b", epochs=3, resume=True)
+    assert len(resumed["train_loss"]) == 1
+    np.testing.assert_allclose(resumed["train_loss"][0],
+                               straight["train_loss"][2], rtol=1e-6)
+    np.testing.assert_allclose(resumed["valid_loss"][0],
+                               straight["valid_loss"][2], rtol=1e-6)
+    tr.checkpoint_manager.close()
