@@ -1,0 +1,55 @@
+"""Profiling utilities + training determinism (the framework's
+race-detection equivalent: same seed -> bit-identical run)."""
+
+import glob
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mae_clip_tpu.utils.profiling import StepTimer, annotate, trace
+
+
+def test_step_timer_summary():
+    t = StepTimer()
+    for _ in range(5):
+        with t:
+            sum(range(1000))
+    s = t.summary()
+    assert s["count"] == 5
+    assert s["min_s"] <= s["p50_s"] <= s["max_s"]
+
+
+def test_trace_writes_files(tmp_path):
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        with annotate("matmul"):
+            x = jnp.ones((64, 64))
+            (x @ x).block_until_ready()
+    produced = glob.glob(os.path.join(logdir, "**", "*"), recursive=True)
+    assert produced, "profiler trace produced no files"
+
+
+def test_training_is_deterministic():
+    """Two runs from the same seed produce identical loss sequences."""
+    from tests.test_train import build, tiny_batch, tiny_cfg
+    from mae_clip_tpu.train.loop import Trainer
+
+    def run():
+        cfg = tiny_cfg(epochs=2)
+        model, variables, _ = build(cfg)
+        trainer = Trainer(cfg, model, variables["params"])
+
+        def loaders(epoch):
+            rng = np.random.default_rng(1000 + epoch)
+            return iter([{k: np.asarray(v)
+                          for k, v in tiny_batch(rng).items()}
+                         for _ in range(2)])
+
+        return trainer.fit(loaders, loaders)
+
+    a = run()
+    b = run()
+    assert a["train_loss"] == b["train_loss"]
+    assert a["valid_loss"] == b["valid_loss"]
