@@ -57,16 +57,24 @@ class Dense(nn.Module):
         return y
 
 
+# Global default for LayerNorm statistics precision. fp32 stats are the
+# parity-safe default; flipping to False computes stats in the compute dtype
+# (bf16 on TPU), trading a little precision for less convert/reduce traffic.
+LN_FP32_STATS_DEFAULT = True
+
+
 class LayerNorm(nn.Module):
     """LayerNorm over the last axis with torch semantics (biased variance).
 
-    Statistics are always computed in fp32 for numerical safety; the result
-    is cast back to the compute dtype.
+    ``fp32_stats`` (default: module-global LN_FP32_STATS_DEFAULT=True)
+    computes mean/var in fp32 for exact torch parity; False keeps the
+    compute dtype throughout (faster on TPU, bf16-safe for these widths).
     """
 
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    fp32_stats: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -76,11 +84,14 @@ class LayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(), (dim,),
                           self.param_dtype)
         orig_dtype = self.dtype or x.dtype
-        xf = x.astype(jnp.float32)
+        use_fp32 = (LN_FP32_STATS_DEFAULT if self.fp32_stats is None
+                    else self.fp32_stats)
+        stat_dtype = jnp.float32 if use_fp32 else x.dtype
+        xf = x.astype(stat_dtype)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        y = y * scale.astype(stat_dtype) + bias.astype(stat_dtype)
         return y.astype(orig_dtype)
 
 

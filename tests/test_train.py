@@ -250,3 +250,29 @@ def test_trainer_resume_continues_identically(tmp_path):
     np.testing.assert_allclose(resumed["valid_loss"][0],
                                straight["valid_loss"][2], rtol=1e-6)
     tr.checkpoint_manager.close()
+
+
+def test_uint8_batch_equals_preprocessed():
+    """uint8 batches are normalized on-device inside the step, matching the
+    host-preprocessed fp32 path exactly."""
+    from mae_clip_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+
+    cfg = tiny_cfg()
+    model, variables, _ = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, size=(8, 16, 16, 3)).astype(np.uint8)
+    norm = ((raw.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+            / IMAGENET_STD).astype(np.float32)
+    common = tiny_batch(rng)
+
+    def one_step(image):
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, variables["params"]), tx,
+            jax.random.PRNGKey(2))
+        step = make_train_step(model, tx, cfg)
+        batch = dict(common, image=jnp.asarray(image))
+        _, m = step(state, batch)
+        return float(m["loss"])
+
+    np.testing.assert_allclose(one_step(raw), one_step(norm), rtol=1e-6)
