@@ -91,10 +91,17 @@ def cmd_train(args) -> None:
     tokenizer = _tokenizer(cfg)
     model, text_cfg = _build_model(cfg, vocab_size=tokenizer.vocab_size)
 
+    # ViT towers take the fast path: pre-patchified uint8 shipped to the
+    # device, normalization fused into the jitted step (2x step time vs
+    # NHWC fp32 on v5e). ResNet keeps NHWC (conv input).
+    vit_fast = cfg.model_name.startswith("vit")
+
     def make_ds(df):
         return CaptionDataset(df["image"].values, df["caption"].values,
                               tokenizer, image_path=cfg.image_path,
-                              size=cfg.size, max_length=cfg.max_length)
+                              size=cfg.size, max_length=cfg.max_length,
+                              raw_uint8=vit_fast,
+                              patchify_size=16 if vit_fast else None)
 
     train_ds, valid_ds = make_ds(train_df), make_ds(valid_df)
 
@@ -103,11 +110,17 @@ def cmd_train(args) -> None:
         mesh = mesh_from_config(cfg.mesh)
 
     rng = np.random.default_rng(cfg.seed)
-    example = next(make_loader(train_ds, cfg.batch_size, num_threads=1))
+    example = {k: v for k, v in
+               next(make_loader(train_ds, cfg.batch_size,
+                                num_threads=1)).items() if k != "caption"}
+    if example["image"].dtype == np.uint8:
+        # The train step normalizes uint8 on-device; init only needs the
+        # post-normalization shape/dtype.
+        example = dict(example, image=np.zeros(example["image"].shape,
+                                               np.float32))
     variables = jax.jit(
         lambda r, b: model.init(r, b, mask_rng=jax.random.PRNGKey(1))
-    )(jax.random.PRNGKey(cfg.seed),
-      {k: v for k, v in example.items() if k != "caption"})
+    )(jax.random.PRNGKey(cfg.seed), example)
 
     mngr = CheckpointManager(cfg.checkpoints)
     writer = MetricWriter(cfg.logdir)

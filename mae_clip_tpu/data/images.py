@@ -58,6 +58,35 @@ def host_preprocess(image: np.ndarray, size: int = 224) -> np.ndarray:
     return (out - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def normalize_uint8(images, compute_dtype=None):
+    """Jit-friendly ImageNet normalization of uint8 input; handles NHWC
+    (B,H,W,C) and pre-patchified (B,N,P*P*C) layouts (channel is the minor
+    index of each patch vector). No-op for non-uint8 input."""
+    import jax.numpy as jnp
+    if images.dtype != jnp.uint8:
+        return images
+    x = images.astype(jnp.float32) / 255.0
+    mean, std = jnp.asarray(IMAGENET_MEAN), jnp.asarray(IMAGENET_STD)
+    if x.ndim == 3:
+        reps = x.shape[-1] // 3
+        mean, std = jnp.tile(mean, reps), jnp.tile(std, reps)
+    out = (x - mean) / std
+    if compute_dtype is not None:
+        out = out.astype(compute_dtype)
+    return out
+
+
+def patchify_host(image: np.ndarray, patch_size: int) -> np.ndarray:
+    """Host-side patchify: (H, W, C) -> (N, P*P*C), row-major patch order
+    (same layout as models.vit.patchify). Shipping patches instead of NHWC
+    keeps minor-dim-3 reshapes off the TPU (see models.vit.PatchEmbed)."""
+    h, w, c = image.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = image.reshape(gh, p, gw, p, c).transpose(0, 2, 1, 3, 4)
+    return np.ascontiguousarray(x.reshape(gh * gw, p * p * c))
+
+
 @functools.partial(__import__("jax").jit, static_argnums=(1,))
 def device_preprocess(images, size: int = 224):
     """Jittable batch resize+normalize: uint8 (B,H,W,C) -> float32 (B,s,s,C).

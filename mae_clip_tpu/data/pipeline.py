@@ -39,13 +39,17 @@ class CaptionDataset:
                  image_path: str = "", size: int = 224,
                  max_length: int = 200,
                  fixed_length: Optional[int] = None,
-                 raw_uint8: bool = False):
+                 raw_uint8: bool = False,
+                 patchify_size: Optional[int] = None):
         assert len(image_filenames) == len(captions)
         self.image_filenames = list(image_filenames)
         self.captions = [str(c) for c in captions]
         self.image_path = image_path
         self.size = size
         self.raw_uint8 = raw_uint8
+        # ViT fast path: ship pre-patchified uint8 (B, N, P*P*C); the
+        # device never touches minor-dim-3 layouts (see models.vit).
+        self.patchify_size = patchify_size
         enc = tokenizer.encode_batch(self.captions, max_length=max_length,
                                      fixed_length=fixed_length)
         self.input_ids = np.asarray(enc["input_ids"], dtype=np.int32)
@@ -60,11 +64,19 @@ class CaptionDataset:
                 if self.image_path else self.image_filenames[idx])
         img = decode_image(path)
         if self.raw_uint8:
-            # Device-side resize/normalize path: ship compact uint8.
+            # Device-side normalize path: ship compact uint8.
             import cv2
-            return cv2.resize(img, (self.size, self.size),
-                              interpolation=cv2.INTER_LINEAR)
-        return host_preprocess(img, self.size)
+            resized = cv2.resize(img, (self.size, self.size),
+                                 interpolation=cv2.INTER_LINEAR)
+            if self.patchify_size:
+                from mae_clip_tpu.data.images import patchify_host
+                return patchify_host(resized, self.patchify_size)
+            return resized
+        out = host_preprocess(img, self.size)
+        if self.patchify_size:
+            from mae_clip_tpu.data.images import patchify_host
+            return patchify_host(out, self.patchify_size)
+        return out
 
 
 def make_loader(dataset: CaptionDataset, batch_size: int,

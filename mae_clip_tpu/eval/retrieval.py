@@ -24,8 +24,11 @@ def compute_image_embeddings(model, variables, loader: Iterable[Dict],
     """Encode + project every image batch into one (N, proj_dim) gallery
     (reference: inference.py:21-27)."""
 
+    from mae_clip_tpu.data.images import normalize_uint8
+
     @jax.jit
     def embed(variables, images):
+        images = normalize_uint8(images)
         feats = model.apply(variables, images, method=model.encode_image)
         return model.apply(variables, feats, method=model.project_image)
 

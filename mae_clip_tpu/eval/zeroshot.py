@@ -56,8 +56,11 @@ def zero_shot_accuracy(model, variables, loader: Iterable[Dict],
     Loader batches: {"image": (B,H,W,C), "label": (B,), optional "valid"}.
     """
 
+    from mae_clip_tpu.data.images import normalize_uint8
+
     @jax.jit
     def embed(variables, images):
+        images = normalize_uint8(images)
         feats = model.apply(variables, images, method=model.encode_image)
         return model.apply(variables, feats, method=model.project_image)
 

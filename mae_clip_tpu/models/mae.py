@@ -132,6 +132,8 @@ class MAEViT(nn.Module):
         x_vis = gather_patches(x, masking.ids_keep)          # (B, K, D)
         encoded = self._run_encoder(x_vis, enc_pe, deterministic)
         pooled = encoded[:, 0]
+        target = (images if images.ndim == 3
+                  else patchify(images, c.patch_size))
 
         # --- decoder ---
         d = self.decoder
@@ -146,7 +148,5 @@ class MAEViT(nn.Module):
             y = block(y, deterministic)
         y = self.decoder_norm(y)
         pred = self.decoder_pred(y)[:, 1:]                   # drop CLS
-
-        target = patchify(images, c.patch_size)
         return MAEOutput(pooled=pooled, pred_patches=pred,
                          target_patches=target, mask=masking.mask)

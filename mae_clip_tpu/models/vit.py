@@ -89,7 +89,13 @@ def unpatchify(patches: jax.Array, patch_size: int, channels: int = 3
 
 
 class PatchEmbed(nn.Module):
-    """Patchify + linear projection == non-overlapping conv, as one matmul."""
+    """Patchify + linear projection == non-overlapping conv, as one matmul.
+
+    Accepts (B, H, W, C) images OR pre-patchified (B, N, P*P*C) input.
+    Pre-patchifying on the HOST is the TPU-friendly path: device-side
+    reshape/transpose of NHWC images has minor dimension C=3, which maps
+    terribly onto the (8, 128) tile and generates layout-change copies.
+    """
 
     config: ViTConfig
     dtype: Optional[Any] = None
@@ -98,7 +104,8 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
         c = self.config
-        patches = patchify(images, c.patch_size)
+        patches = (images if images.ndim == 3
+                   else patchify(images, c.patch_size))
         return Dense(c.dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="proj")(patches)
 

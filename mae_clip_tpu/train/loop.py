@@ -72,13 +72,11 @@ def _forward(model, variables, batch, train, rng, cfg: Config):
     """Run the model, returning (outputs, new_batch_stats)."""
     if batch["image"].dtype == jnp.uint8:
         # Fused on-device preprocessing: the loader ships compact uint8
-        # (4x less host->HBM traffic than fp32); normalize rides the VPU
-        # inside the same jitted step (data/images.py math, resize done
-        # host-side at decode).
-        from mae_clip_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
-        x = batch["image"].astype(jnp.float32) / 255.0
-        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        batch = dict(batch, image=x)
+        # (4x less host->HBM traffic than fp32, and pre-patchified layouts
+        # avoid minor-dim-3 device reshapes); normalize rides the VPU
+        # inside the same jitted step.
+        from mae_clip_tpu.data.images import normalize_uint8
+        batch = dict(batch, image=normalize_uint8(batch["image"]))
     rngs = {}
     mask_rng = None
     if train:

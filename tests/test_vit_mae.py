@@ -144,3 +144,30 @@ def test_clip_encode_image_uses_full_pass_for_mae():
     # Train-path pooled (masked) differs from inference pooled (full).
     out = model.apply(variables, batch, mask_rng=jax.random.PRNGKey(2))
     assert out["image_embeddings"].shape == (2, 8)
+
+
+def test_prepatchified_input_matches_image_input():
+    """(B, N, P*P*C) pre-patchified input == NHWC input, for both the ViT
+    encoder and the MAE path (host patchify layout matches device)."""
+    from mae_clip_tpu.data.images import patchify_host
+
+    rng = np.random.default_rng(11)
+    imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    patches = np.stack([patchify_host(im, 8) for im in imgs])
+    np.testing.assert_allclose(patches, np.asarray(patchify(jnp.array(imgs), 8)),
+                               atol=0)
+
+    enc = ViTEncoder(TINY)
+    v = enc.init(jax.random.PRNGKey(0), jnp.array(imgs))
+    a = enc.apply(v, jnp.array(imgs))
+    b = enc.apply(v, jnp.array(patches))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    mae = MAEViT(TINY, decoder=MAEDecoderConfig(dim=16, depth=1, n_heads=4))
+    vm = mae.init(jax.random.PRNGKey(0), jnp.array(imgs), jax.random.PRNGKey(1))
+    oa = mae.apply(vm, jnp.array(imgs), jax.random.PRNGKey(2))
+    ob = mae.apply(vm, jnp.array(patches), jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(oa.pred_patches),
+                               np.asarray(ob.pred_patches), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(oa.target_patches),
+                               np.asarray(ob.target_patches), atol=1e-6)
