@@ -1,0 +1,124 @@
+"""Export framework params back to reference-layout ``.pth`` state_dicts.
+
+Inverse of interop/torch_import.py: produces a state_dict with the
+reference composite's exact key names (reference CLIP.py:17-21 module tree:
+``image_encoder.model.*`` / ``text_encoder.model.*`` / ``*_projection.*``),
+so checkpoints trained here can be loaded by the reference's
+``model.load_state_dict`` (reference inference.py:18) or by any torch
+tooling. Round-trip (export -> import) is tested to be exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+
+def _get(tree: Mapping, *path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node)
+
+
+def export_projection_head(params: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        prefix + "projection.weight": _get(params, "projection", "kernel").T,
+        prefix + "projection.bias": _get(params, "projection", "bias"),
+        prefix + "fc.weight": _get(params, "fc", "kernel").T,
+        prefix + "fc.bias": _get(params, "fc", "bias"),
+        prefix + "layer_norm.weight": _get(params, "layer_norm", "scale"),
+        prefix + "layer_norm.bias": _get(params, "layer_norm", "bias"),
+    }
+
+
+def export_distilbert(params: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    sd = {
+        prefix + "embeddings.word_embeddings.weight":
+            _get(params, "embeddings", "word_embeddings", "embedding"),
+        prefix + "embeddings.position_embeddings.weight":
+            _get(params, "embeddings", "position_embeddings", "embedding"),
+        prefix + "embeddings.LayerNorm.weight":
+            _get(params, "embeddings", "LayerNorm", "scale"),
+        prefix + "embeddings.LayerNorm.bias":
+            _get(params, "embeddings", "LayerNorm", "bias"),
+    }
+    i = 0
+    while f"layer_{i}" in params:
+        lp = f"{prefix}transformer.layer.{i}."
+        layer = params[f"layer_{i}"]
+        for lin in ("q_lin", "k_lin", "v_lin", "out_lin"):
+            sd[lp + f"attention.{lin}.weight"] = _get(
+                layer, "attention", lin, "kernel").T
+            sd[lp + f"attention.{lin}.bias"] = _get(
+                layer, "attention", lin, "bias")
+        for ln in ("sa_layer_norm", "output_layer_norm"):
+            sd[lp + f"{ln}.weight"] = _get(layer, ln, "scale")
+            sd[lp + f"{ln}.bias"] = _get(layer, ln, "bias")
+        sd[lp + "ffn.lin1.weight"] = _get(layer, "ffn_lin1", "kernel").T
+        sd[lp + "ffn.lin1.bias"] = _get(layer, "ffn_lin1", "bias")
+        sd[lp + "ffn.lin2.weight"] = _get(layer, "ffn_lin2", "kernel").T
+        sd[lp + "ffn.lin2.bias"] = _get(layer, "ffn_lin2", "bias")
+        i += 1
+    return sd
+
+
+def export_resnet50(params: Mapping, batch_stats: Mapping, prefix: str
+                    ) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(torch_name, *path):
+        sd[torch_name] = np.transpose(_get(params, *path, "kernel"),
+                                      (3, 2, 0, 1))  # HWIO -> OIHW
+
+    def put_bn(torch_name, *path):
+        sd[torch_name + ".weight"] = _get(params, *path, "scale")
+        sd[torch_name + ".bias"] = _get(params, *path, "bias")
+        sd[torch_name + ".running_mean"] = _get(batch_stats, *path, "mean")
+        sd[torch_name + ".running_var"] = _get(batch_stats, *path, "var")
+        sd[torch_name + ".num_batches_tracked"] = np.asarray(0)
+
+    put_conv(prefix + "conv1.weight", "conv1")
+    put_bn(prefix + "bn1", "bn1")
+    for stage, size in enumerate((3, 4, 6, 3), start=1):
+        for block in range(size):
+            t = f"{prefix}layer{stage}.{block}."
+            b = f"layer{stage}_{block}"
+            for conv in ("conv1", "conv2", "conv3"):
+                put_conv(t + conv + ".weight", b, conv)
+                put_bn(t + conv.replace("conv", "bn"), b,
+                       conv.replace("conv", "bn"))
+            if block == 0:
+                put_conv(t + "downsample.0.weight", b, "downsample_conv")
+                put_bn(t + "downsample.1", b, "downsample_bn")
+    return sd
+
+
+def export_clip_state_dict(variables: Mapping, model_name: str = "resnet50"
+                           ) -> Dict[str, np.ndarray]:
+    """Flax variables -> reference-layout state_dict (numpy arrays)."""
+    params = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+    if model_name == "resnet50":
+        sd.update(export_resnet50(params["image_encoder"],
+                                  variables["batch_stats"]["image_encoder"],
+                                  "image_encoder.model."))
+    else:
+        raise NotImplementedError(
+            f"export for image tower {model_name!r}; the reference composite "
+            "only ever shipped resnet50 checkpoints")
+    sd.update(export_distilbert(params["text_encoder"]["model"],
+                                "text_encoder.model."))
+    sd.update(export_projection_head(params["image_projection"],
+                                     "image_projection."))
+    sd.update(export_projection_head(params["text_projection"],
+                                     "text_projection."))
+    return sd
+
+
+def save_pth(state_dict: Mapping[str, np.ndarray], path: str) -> None:
+    import torch
+
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in
+                state_dict.items()}, path)

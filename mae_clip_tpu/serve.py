@@ -1,0 +1,152 @@
+"""Inference serving: embedding + retrieval over HTTP.
+
+The reference has no serving layer (its inference is notebook/matplotlib,
+reference inference.py:49-56). This module packages the inference
+capabilities — text/image embedding, text->image retrieval over a
+precomputed gallery, zero-shot classification — behind jitted batch
+functions and a dependency-free stdlib HTTP server (JSON in/out), suitable
+for fronting a TPU chip.
+
+Endpoints:
+  GET  /healthz                      -> {"status": "ok", ...}
+  POST /embed_text {"texts": [...]}  -> {"embeddings": [[...], ...]}
+  POST /retrieve   {"query": "...", "n": 9}
+                                     -> {"matches": [...], "scores": [...]}
+  POST /zeroshot   {"labels": [...], "image": [[..HWC..]]}
+                                     -> {"probs": {label: p}}
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mae_clip_tpu.data.images import normalize_uint8
+from mae_clip_tpu.ops.retrieval import l2_normalize, retrieval_topk
+
+
+class RetrievalService:
+    """Jitted embedding/retrieval core shared by the server and tests."""
+
+    def __init__(self, model, variables, tokenizer,
+                 gallery: Optional[jax.Array] = None,
+                 gallery_names: Optional[Sequence[str]] = None,
+                 max_length: Optional[int] = None,
+                 dedup_stride: int = 1):
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.gallery = gallery
+        self.gallery_names = list(gallery_names or [])
+        self.max_length = max_length
+        self.dedup_stride = dedup_stride
+
+        @jax.jit
+        def _embed_text(variables, ids, mask):
+            feats = model.apply(variables, ids, mask,
+                                method=model.encode_text)
+            return model.apply(variables, feats, method=model.project_text)
+
+        @jax.jit
+        def _embed_image(variables, images):
+            images = normalize_uint8(images)
+            feats = model.apply(variables, images,
+                                method=model.encode_image)
+            return model.apply(variables, feats, method=model.project_image)
+
+        self._embed_text = _embed_text
+        self._embed_image = _embed_image
+
+    # -- API ---------------------------------------------------------------
+    def embed_text(self, texts: Sequence[str]) -> np.ndarray:
+        enc = self.tokenizer.encode_batch(list(texts),
+                                          max_length=self.max_length)
+        ids = jnp.asarray(enc["input_ids"], jnp.int32)
+        mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+        return np.asarray(self._embed_text(self.variables, ids, mask))
+
+    def embed_images(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self._embed_image(self.variables,
+                                            jnp.asarray(images)))
+
+    def retrieve(self, query: str, n: int = 9) -> Dict:
+        if self.gallery is None:
+            raise ValueError("service has no gallery loaded")
+        text_emb = jnp.asarray(self.embed_text([query]))
+        k = n * self.dedup_stride
+        scores, idx = retrieval_topk(text_emb, self.gallery, k=k)
+        idx = np.asarray(idx)[0][::self.dedup_stride][:n]
+        scores = np.asarray(scores)[0][::self.dedup_stride][:n]
+        names = ([self.gallery_names[i] for i in idx]
+                 if self.gallery_names else idx.tolist())
+        return {"matches": names, "scores": scores.tolist(),
+                "indices": idx.tolist()}
+
+    def zeroshot(self, labels: Sequence[str], image: np.ndarray,
+                 template: str = "a photo of a {}",
+                 scale: float = 100.0) -> Dict[str, float]:
+        cls = l2_normalize(jnp.asarray(
+            self.embed_text([template.format(l) for l in labels])))
+        img = l2_normalize(jnp.asarray(self.embed_images(image[None])))
+        probs = jax.nn.softmax(scale * (img @ cls.T), axis=-1)
+        return {l: float(p) for l, p in zip(labels, np.asarray(probs)[0])}
+
+
+def make_server(service: RetrievalService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, payload: Dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "gallery_size": (0 if service.gallery is None
+                                     else int(service.gallery.shape[0])),
+                    "backend": jax.default_backend(),
+                })
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/embed_text":
+                    emb = service.embed_text(req["texts"])
+                    self._send(200, {"embeddings": emb.tolist()})
+                elif self.path == "/retrieve":
+                    self._send(200, service.retrieve(req["query"],
+                                                     int(req.get("n", 9))))
+                elif self.path == "/zeroshot":
+                    img = np.asarray(req["image"], dtype=np.float32)
+                    self._send(200, {"probs": service.zeroshot(
+                        req["labels"], img,
+                        template=req.get("template", "a photo of a {}"))})
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as e:  # surface errors as JSON, keep serving
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever_in_thread(server: ThreadingHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t

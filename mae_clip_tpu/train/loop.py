@@ -283,10 +283,14 @@ class Trainer:
     def fit(self, train_loader_fn: Callable,
             valid_loader_fn: Callable,
             epochs: Optional[int] = None,
-            start_epoch: int = 0) -> Dict[str, Any]:
+            start_epoch: int = 0,
+            eval_fn: Optional[Callable[["Trainer", int], Dict[str, float]]]
+            = None) -> Dict[str, Any]:
         """Full training run; returns history. Loader fns build fresh
         per-epoch iterables (the reference reshuffles per epoch); pass
-        ``start_epoch`` (e.g. ``trainer.restore() + 1``) to resume."""
+        ``start_epoch`` (e.g. ``trainer.restore() + 1``) to resume.
+        ``eval_fn(trainer, epoch)`` may return extra scalars (recall@K,
+        zero-shot accuracy, ...) written alongside the losses."""
         cfg = self.cfg
         history = {"train_loss": [], "valid_loss": []}
         for epoch in range(start_epoch,
@@ -311,12 +315,18 @@ class Trainer:
                     metrics={"valid_loss": valid_meter.avg},
                     scheduler=self.scheduler.state_dict(),
                     best_loss=self.best_loss, is_best=is_best)
+            scalars = {
+                "loss/train": train_meter.avg,
+                "loss/val": valid_meter.avg,
+                "lr": current_lr(cfg, self.state.opt_state),
+                "throughput/examples_per_sec_per_chip":
+                    self.throughput.examples_per_sec_per_chip,
+            }
+            if eval_fn is not None:
+                extra = eval_fn(self, epoch) or {}
+                scalars.update(extra)
+                for k, v in extra.items():
+                    history.setdefault(k, []).append(v)
             if self.writer is not None:
-                self.writer.write_scalars(epoch, {
-                    "loss/train": train_meter.avg,
-                    "loss/val": valid_meter.avg,
-                    "lr": current_lr(cfg, self.state.opt_state),
-                    "throughput/examples_per_sec_per_chip":
-                        self.throughput.examples_per_sec_per_chip,
-                })
+                self.writer.write_scalars(epoch, scalars)
         return history

@@ -192,3 +192,33 @@ def test_full_pth_import_loss_parity(torch_composite, tmp_path):
                                ie.numpy(), atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out["text_embeddings"]),
                                te.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_export_roundtrip(torch_composite, tmp_path):
+    """import -> export -> import is exact, and the exported .pth loads
+    back into the torch reference composite with zero mismatch."""
+    import torch as _torch
+    from mae_clip_tpu.interop.torch_export import (export_clip_state_dict,
+                                                   save_pth)
+    from mae_clip_tpu.interop.torch_import import load_pth_state_dict
+
+    sd0 = {k: v.detach().numpy() for k, v in
+           torch_composite.state_dict().items()}
+    variables = import_clip_state_dict(sd0, model_name="resnet50")
+    exported = export_clip_state_dict(variables, model_name="resnet50")
+
+    for k, v in sd0.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        assert k in exported, f"missing key {k}"
+        np.testing.assert_array_equal(exported[k], v, err_msg=k)
+
+    # torch.load path + strict load_state_dict into the reference tree.
+    p = tmp_path / "exported.pth"
+    save_pth(exported, str(p))
+    loaded = {k: _torch.tensor(v) for k, v in
+              load_pth_state_dict(str(p)).items()}
+    missing, unexpected = torch_composite.load_state_dict(loaded,
+                                                          strict=False)
+    assert not [m for m in missing if "num_batches_tracked" not in m]
+    assert not unexpected

@@ -276,3 +276,19 @@ def test_uint8_batch_equals_preprocessed():
         return float(m["loss"])
 
     np.testing.assert_allclose(one_step(raw), one_step(norm), rtol=1e-6)
+
+
+def test_trainer_eval_hook():
+    cfg = tiny_cfg(epochs=2)
+    model, variables, _ = build(cfg)
+    trainer = Trainer(cfg, model, variables["params"])
+    rng = np.random.default_rng(5)
+    calls = []
+
+    def eval_fn(tr, epoch):
+        calls.append(epoch)
+        return {"eval/recall@1": 0.5 + epoch}
+
+    hist = trainer.fit(_loaders(rng), _loaders(rng), eval_fn=eval_fn)
+    assert calls == [0, 1]
+    assert hist["eval/recall@1"] == [0.5, 1.5]
