@@ -222,6 +222,44 @@ def cmd_import_pth(args) -> None:
     print(json.dumps({"imported_arrays": n, "out": args.out}))
 
 
+def cmd_serve(args) -> None:
+    """Serve embedding/retrieval/zero-shot over HTTP from a .pth checkpoint
+    + COCO validation gallery."""
+    import jax.numpy as jnp
+
+    from mae_clip_tpu.data.coco import get_coco_captions_df
+    from mae_clip_tpu.data.pipeline import CaptionDataset, make_loader
+    from mae_clip_tpu.eval.retrieval import compute_image_embeddings
+    from mae_clip_tpu.serve import RetrievalService, make_server
+    from mae_clip_tpu.train.checkpoint import import_reference_checkpoint
+
+    cfg = _load_config(args)
+    tokenizer = _tokenizer(cfg)
+    model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
+    variables = import_reference_checkpoint(args.checkpoint, cfg)
+
+    gallery = None
+    names = []
+    if args.coco_val:
+        df = get_coco_captions_df(args.coco_val)
+        ds = CaptionDataset(df["image"].values, df["caption"].values,
+                            tokenizer, image_path=cfg.image_path,
+                            size=cfg.size, max_length=cfg.max_length)
+        gallery = compute_image_embeddings(
+            model, variables, make_loader(ds, cfg.batch_size))
+        names = list(df["image"].values)
+
+    svc = RetrievalService(model, variables, tokenizer, gallery=gallery,
+                           gallery_names=names, max_length=cfg.max_length,
+                           dedup_stride=5 if names else 1)
+    server = make_server(svc, host=args.host, port=args.port)
+    print(json.dumps({"serving": f"http://{args.host}:"
+                                 f"{server.server_address[1]}",
+                      "gallery_size": 0 if gallery is None
+                      else int(gallery.shape[0])}))
+    server.serve_forever()
+
+
 def cmd_build_vocab(args) -> None:
     from mae_clip_tpu.data.tokenizer import build_vocab, save_vocab
 
@@ -272,6 +310,14 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("pth")
     p.add_argument("out")
     p.set_defaults(fn=cmd_import_pth)
+
+    p = sub.add_parser("serve", help="HTTP embedding/retrieval server")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--coco-val", help="build the retrieval gallery")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("build-vocab",
                        help="build a WordPiece vocab from captions")

@@ -93,32 +93,78 @@ def _forward(model, variables, batch, train, rng, cfg: Config):
     return out, None
 
 
-def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None):
-    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
+                    accum_steps: int = 1):
+    """Build the jitted train step: (state, batch) -> (state, metrics).
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch is split
+    into that many microbatches scanned sequentially (``lax.scan``), grads
+    averaged, ONE optimizer update — activation memory drops by the same
+    factor, enabling 32k-style global batches on few chips. NOTE: with
+    accumulation the contrastive loss is computed per-microbatch (the
+    standard approximation), so the effective contrastive batch is the
+    microbatch (x data-parallel size when global_contrastive is on).
+    """
     clip_loss_fn = _clip_loss_fn(cfg, mesh)
+
+    def loss_for(state, batch, rng, params):
+        valid = batch.get("valid")
+        variables = {"params": params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        out, new_stats = _forward(model, variables, batch, True, rng, cfg)
+        clip_loss = clip_loss_fn(out["image_embeddings"],
+                                 out["text_embeddings"], valid)
+        loss = clip_loss
+        metrics = {"clip_loss": clip_loss}
+        if "mae_loss" in out:
+            metrics["mae_loss"] = out["mae_loss"]
+            loss = loss + cfg.mae.loss_weight * out["mae_loss"]
+        metrics["loss"] = loss
+        return loss, (metrics, new_stats)
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]
                 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(state.rng, state.step)
-        valid = batch.get("valid")
 
-        def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-            out, new_stats = _forward(model, variables, batch, True, rng, cfg)
-            clip_loss = clip_loss_fn(out["image_embeddings"],
-                                     out["text_embeddings"], valid)
-            loss = clip_loss
-            metrics = {"clip_loss": clip_loss}
-            if "mae_loss" in out:
-                metrics["mae_loss"] = out["mae_loss"]
-                loss = loss + cfg.mae.loss_weight * out["mae_loss"]
-            metrics["loss"] = loss
-            return loss, (metrics, new_stats)
+        if accum_steps > 1 and state.batch_stats is not None:
+            raise NotImplementedError(
+                "gradient accumulation with BatchNorm towers (resnet50) "
+                "would need cross-microbatch stat merging; use a ViT tower")
+        if accum_steps == 1:
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_for, argnums=3, has_aux=True)(state, batch, rng,
+                                                   state.params)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                    + x.shape[1:]), batch)
 
-        (_, (metrics, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            def scan_body(carry, mb):
+                acc_grads, acc_metrics, i = carry
+                mb_rng = jax.random.fold_in(rng, i)
+                (_, (metrics, _)), grads = jax.value_and_grad(
+                    loss_for, argnums=3, has_aux=True)(state, mb, mb_rng,
+                                                       state.params)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                acc_metrics = jax.tree_util.tree_map(jnp.add, acc_metrics,
+                                                     metrics)
+                return (acc_grads, acc_metrics, i + 1), None
+
+            zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            proto_m = {"clip_loss": 0.0, "loss": 0.0}
+            if cfg.mae.enabled:
+                proto_m["mae_loss"] = 0.0
+            zeros_m = jax.tree_util.tree_map(
+                lambda _: jnp.zeros((), jnp.float32), proto_m)
+            (grads, metrics, _), _ = jax.lax.scan(
+                scan_body, (zeros_g, zeros_m, jnp.zeros((), jnp.int32)),
+                micro)
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m / accum_steps,
+                                             metrics)
+            new_stats = state.batch_stats
+
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = jax.tree_util.tree_map(
