@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 from typing import List, Optional
 
 from mae_clip_tpu.config import Config
@@ -41,11 +40,12 @@ def _build_model(cfg: Config, vocab_size: Optional[int] = None):
     from mae_clip_tpu.models.distilbert import DistilBertConfig
     import jax
 
+    del jax  # backend choice happens shape-aware inside the attention op
     text_cfg = DistilBertConfig()
     if vocab_size is not None:
         text_cfg = DistilBertConfig(vocab_size=vocab_size)
-    attn = "pallas" if (cfg.use_pallas == "always" or (
-        cfg.use_pallas == "auto" and jax.default_backend() == "tpu")) else "xla"
+    attn = {"always": "pallas", "never": "xla",
+            "auto": "auto"}[cfg.use_pallas]
     return CLIPModel(cfg, text_config=text_cfg, attn_impl=attn), text_cfg
 
 

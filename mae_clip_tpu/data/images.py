@@ -19,7 +19,7 @@ augmentation at all, dataset.py:44-58).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

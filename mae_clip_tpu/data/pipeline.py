@@ -22,7 +22,6 @@ input_ids (B,S) i32, attention_mask (B,S) i32, valid (B,) bool}.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import threading
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mae_clip_tpu.ops.retrieval import l2_normalize, retrieval_topk, strided_dedup
+from mae_clip_tpu.ops.retrieval import retrieval_topk, strided_dedup
 
 
 def compute_image_embeddings(model, variables, loader: Iterable[Dict],

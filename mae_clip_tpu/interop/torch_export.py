@@ -10,7 +10,7 @@ tooling. Round-trip (export -> import) is tested to be exact.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Dict, Mapping
 
 import numpy as np
 

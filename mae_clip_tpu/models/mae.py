@@ -32,7 +32,7 @@ from flax import linen as nn
 from mae_clip_tpu.models.layers import Dense, LayerNorm
 from mae_clip_tpu.models.vit import (PatchEmbed, ViTBlock, ViTConfig,
                                      patchify, sincos_pos_embed_2d)
-from mae_clip_tpu.ops.masking import (gather_patches, random_masking,
+from mae_clip_tpu.ops.masking import (random_masking,
                                       scatter_with_mask_tokens)
 
 
@@ -60,6 +60,7 @@ class MAEViT(nn.Module):
     channels: int = 3
     attn_impl: str = "xla"
     attn_interpret: bool = False
+    use_pallas_patch_embed: bool = False
     remat: bool = False
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
@@ -71,7 +72,8 @@ class MAEViT(nn.Module):
         attn = dict(attn_impl=self.attn_impl,
                     attn_interpret=self.attn_interpret)
 
-        self.patch_embed = PatchEmbed(c, **common)
+        self.patch_embed = PatchEmbed(
+            c, use_pallas=self.use_pallas_patch_embed, **common)
         self.cls_token = self.param("cls_token",
                                     nn.initializers.normal(0.02),
                                     (1, 1, c.dim), self.param_dtype)
@@ -126,14 +128,21 @@ class MAEViT(nn.Module):
                  deterministic: bool = True) -> MAEOutput:
         c = self.config
         b = images.shape[0]
-        x, enc_pe = self._embed_patches(images)
-
-        masking = random_masking(mask_rng, b, c.num_patches, self.mask_ratio)
-        x_vis = gather_patches(x, masking.ids_keep)          # (B, K, D)
-        encoded = self._run_encoder(x_vis, enc_pe, deterministic)
-        pooled = encoded[:, 0]
         target = (images if images.ndim == 3
                   else patchify(images, c.patch_size))
+
+        masking = random_masking(mask_rng, b, c.num_patches, self.mask_ratio)
+        # Embed ONLY the visible patches (gather-then-project == the MAE
+        # paper's project-then-gather, with 1/(1-mask_ratio) less matmul
+        # work; optionally as one fused Pallas kernel).
+        enc_pe = jnp.asarray(
+            sincos_pos_embed_2d(c.dim, c.grid_size, cls_token=True))[None]
+        x_vis = self.patch_embed(target, ids=masking.ids_keep,
+                                 interpret=self.attn_interpret)
+        pe_vis = jnp.take(enc_pe[0, 1:], masking.ids_keep, axis=0)
+        x_vis = x_vis + pe_vis.astype(x_vis.dtype)           # (B, K, D)
+        encoded = self._run_encoder(x_vis, enc_pe, deterministic)
+        pooled = encoded[:, 0]
 
         # --- decoder ---
         d = self.decoder

@@ -88,6 +88,45 @@ def unpatchify(patches: jax.Array, patch_size: int, channels: int = 3
     return x.reshape(b, g * p, g * p, channels)
 
 
+class _PatchProj(nn.Module):
+    """Linear patch projection with an optional fused masked-gather path.
+
+    Param names match Dense (kernel/bias) so checkpoints are unaffected.
+    With ``ids`` given, only those patch rows are embedded — via the Pallas
+    fused gather+matmul kernel (ops/patch_embed.py) when ``use_pallas``,
+    else the XLA take_along_axis formulation.
+    """
+
+    features: int
+    use_pallas: bool = False
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, patches: jax.Array, ids: Optional[jax.Array] = None,
+                 interpret: bool = False) -> jax.Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (patches.shape[-1], self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype)
+        if self.dtype is not None:
+            patches = patches.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        if ids is None:
+            y = jnp.matmul(patches, kernel,
+                           preferred_element_type=patches.dtype)
+            return y + bias
+        if self.use_pallas:
+            from mae_clip_tpu.ops.patch_embed import masked_patch_embed
+            return masked_patch_embed(patches, ids, kernel, bias, interpret)
+        gathered = jnp.take_along_axis(patches, ids[:, :, None], axis=1)
+        y = jnp.matmul(gathered, kernel,
+                       preferred_element_type=gathered.dtype)
+        return y + bias
+
+
 class PatchEmbed(nn.Module):
     """Patchify + linear projection == non-overlapping conv, as one matmul.
 
@@ -95,19 +134,24 @@ class PatchEmbed(nn.Module):
     Pre-patchifying on the HOST is the TPU-friendly path: device-side
     reshape/transpose of NHWC images has minor dimension C=3, which maps
     terribly onto the (8, 128) tile and generates layout-change copies.
+
+    ``ids`` embeds only the selected patch rows (the MAE visible set).
     """
 
     config: ViTConfig
+    use_pallas: bool = False
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> jax.Array:
+    def __call__(self, images: jax.Array, ids: Optional[jax.Array] = None,
+                 interpret: bool = False) -> jax.Array:
         c = self.config
         patches = (images if images.ndim == 3
                    else patchify(images, c.patch_size))
-        return Dense(c.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="proj")(patches)
+        return _PatchProj(c.dim, use_pallas=self.use_pallas,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="proj")(patches, ids, interpret)
 
 
 class ViTBlock(nn.Module):

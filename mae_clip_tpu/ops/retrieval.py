@@ -12,7 +12,7 @@ concat + top_k), which XLA keeps entirely on-device.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
