@@ -271,13 +271,26 @@ class Trainer:
             return int(np.asarray(batch["valid"]).sum())
         return int(np.asarray(batch["image"]).shape[0])
 
+    def _device_prefetch(self, loader: Iterable[Dict[str, Any]]):
+        """Overlap host->device transfer with compute: the next batch is
+        device_put while the current step runs (1-deep pipeline; the
+        reference's num_workers analogue on the transfer side)."""
+        it = iter(loader)
+        prev_raw = prev_dev = None
+        for batch in it:
+            dev = self._prepare(batch)
+            if prev_dev is not None:
+                yield prev_raw, prev_dev
+            prev_raw, prev_dev = batch, dev
+        if prev_dev is not None:
+            yield prev_raw, prev_dev
+
     def train_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
         meter = AvgMeter("train_loss")
         self.throughput.start()
-        for batch in loader:
-            count = self._count(batch)
-            self.state, metrics = self.train_step(self.state,
-                                                  self._prepare(batch))
+        for raw, batch in self._device_prefetch(loader):
+            count = self._count(raw)
+            self.state, metrics = self.train_step(self.state, batch)
             if self.cfg.scheduler_step == "batch":
                 self._scheduler_step(float(metrics["loss"]))
             meter.update(float(metrics["loss"]), count)
