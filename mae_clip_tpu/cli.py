@@ -138,7 +138,14 @@ def cmd_train(args) -> None:
     def valid_loader():
         return make_loader(valid_ds, cfg.batch_size)
 
-    history = trainer.fit(train_loader, valid_loader)
+    eval_fn = None
+    if args.eval_retrieval:
+        from mae_clip_tpu.eval.retrieval import make_retrieval_eval_fn
+        eval_fn = make_retrieval_eval_fn(
+            model, valid_ds, lambda d, b: make_loader(d, b),
+            batch_size=cfg.batch_size)
+
+    history = trainer.fit(train_loader, valid_loader, eval_fn=eval_fn)
     mngr.wait()
     print(json.dumps({"final_train_loss": history["train_loss"][-1],
                       "final_valid_loss": history["valid_loss"][-1],
@@ -286,6 +293,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--coco-train")
     p.add_argument("--coco-val")
     p.add_argument("--captions-dir")
+    p.add_argument("--eval-retrieval", action="store_true",
+                   help="compute recall@K on the validation split per epoch")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("retrieve", help="text->image retrieval")

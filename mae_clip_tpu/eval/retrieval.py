@@ -85,6 +85,56 @@ def show_matches(matches: Sequence[str], image_path: str = "") -> None:
     plt.show()
 
 
+def make_retrieval_eval_fn(model, dataset, make_loader_fn, batch_size: int,
+                           ks: Sequence[int] = (1, 5, 10),
+                           max_samples: Optional[int] = 1000):
+    """Build a ``Trainer.fit(eval_fn=...)`` hook computing retrieval
+    recall@K on (a subsample of) a caption dataset each epoch.
+
+    Uses the dataset's caption<->image pairing: text query i's ground truth
+    is image i (one row per caption, images repeated — the reference's
+    gallery layout, inference.py:46-47).
+    """
+
+    def eval_fn(trainer, epoch):
+        del epoch
+        variables = trainer.state.variables()
+        n = len(dataset) if max_samples is None else min(len(dataset),
+                                                         max_samples)
+        loader = make_loader_fn(dataset, batch_size)
+        image_emb = compute_image_embeddings(model, variables, loader)
+
+        from mae_clip_tpu.data.images import normalize_uint8
+
+        @jax.jit
+        def embed_text(variables, ids, mask):
+            feats = model.apply(variables, ids, mask,
+                                method=model.encode_text)
+            return model.apply(variables, feats, method=model.project_text)
+
+        text_chunks = []
+        for start in range(0, n, batch_size):
+            ids = jnp.asarray(dataset.input_ids[start:start + batch_size])
+            mask = jnp.asarray(
+                dataset.attention_mask[start:start + batch_size])
+            text_chunks.append(np.asarray(embed_text(variables, ids, mask)))
+        text_emb = jnp.asarray(np.concatenate(text_chunks))[:n]
+        # Ground truth by image FILENAME: the gallery has one row per
+        # caption (images repeated 5x in COCO/Flickr), so any row of the
+        # right image counts as a hit.
+        kmax = max(ks)
+        _, idx = retrieval_topk(text_emb, image_emb[:n], k=kmax)
+        idx = np.asarray(idx)
+        names = np.asarray(dataset.image_filenames[:n])
+        out = {}
+        for k in ks:
+            hits = (names[idx[:, :k]] == names[:len(idx), None]).any(axis=1)
+            out[f"eval/recall@{k}"] = float(hits.mean())
+        return out
+
+    return eval_fn
+
+
 def recall_at_k(text_embeddings: jax.Array, image_embeddings: jax.Array,
                 text_to_image: np.ndarray, ks: Sequence[int] = (1, 5, 10)
                 ) -> Dict[str, float]:

@@ -124,3 +124,46 @@ def test_end_to_end_retrieval_with_tiny_model():
                            tok, n=2, dedup_stride=1)
     assert len(matches) == 2
     assert set(matches) <= set(names)
+
+
+def test_make_retrieval_eval_fn_end_to_end():
+    """Per-epoch recall@K hook over a tiny in-memory dataset."""
+    from mae_clip_tpu.config import Config
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    from mae_clip_tpu.models.vit import ViTConfig
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+    from mae_clip_tpu.data.pipeline import CaptionDataset, make_loader
+    from mae_clip_tpu.eval.retrieval import make_retrieval_eval_fn
+    from mae_clip_tpu.train.loop import Trainer
+
+    captions = [f"object number {i}" for i in range(6)]
+    # 2 captions per image: filenames repeated (reference gallery layout).
+    filenames = [f"{i // 2}.jpg" for i in range(6)]
+    tok = WordPieceTokenizer(build_vocab(captions, vocab_size=64,
+                                         min_frequency=1))
+    images = np.random.default_rng(0).normal(
+        size=(6, 16, 16, 3)).astype(np.float32)
+    ds = CaptionDataset(filenames, captions, tok, size=16, max_length=16)
+
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=16,
+                 compute_dtype="float32", max_length=16, batch_size=4)
+    model = CLIPModel(
+        cfg,
+        text_config=DistilBertConfig(vocab_size=tok.vocab_size, dim=16,
+                                     n_layers=1, n_heads=2, hidden_dim=32,
+                                     max_position_embeddings=32),
+        vit_config=ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                             n_heads=2))
+    batch = next(make_loader(ds, 4, images=images, num_threads=1))
+    variables = model.init(jax.random.PRNGKey(0),
+                           {k: jnp.asarray(v) for k, v in batch.items()})
+    trainer = Trainer(cfg, model, variables["params"])
+
+    eval_fn = make_retrieval_eval_fn(
+        model, ds,
+        lambda d, b: make_loader(d, b, images=images, num_threads=1),
+        batch_size=4, ks=(1, 3), max_samples=None)
+    out = eval_fn(trainer, 0)
+    assert set(out) == {"eval/recall@1", "eval/recall@3"}
+    assert 0.0 <= out["eval/recall@1"] <= out["eval/recall@3"] <= 1.0
