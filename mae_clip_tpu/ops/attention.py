@@ -64,42 +64,48 @@ def attention_xla(
 # ---------------------------------------------------------------------------
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                      sm_scale: float, block_k: int, seq_k: int):
-    """One (batch*head, q_block) program: online softmax over key blocks.
+                      sm_scale: float, block_k: int, seq_k: int,
+                      n_heads: int):
+    """One (batch, q_block) program handles ALL heads of one batch element:
+    fewer, fatter programs than a (batch*head,) grid — the k/v/mask loads
+    and the online-softmax loop are shared across the (static, unrolled)
+    head loop, which matters at this model family's short sequences.
 
     Matmuls run in the INPUT dtype (bf16 on TPU -> full-rate MXU) with fp32
     accumulation; the softmax state (m, l) and accumulator stay fp32.
     """
-    q = q_ref[0]                                          # (block_q, d)
-    block_q, d = q.shape
     num_kb = seq_k // block_k
 
-    m0 = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
-    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
+    for h in range(n_heads):                              # static unroll
+        q = q_ref[0, h]                                   # (block_q, d)
+        block_q, d = q.shape
 
-    def body(kb, carry):
-        m_i, l_i, acc = carry
-        kblk = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        vblk = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        mblk = mask_ref[0, 0, pl.ds(kb * block_k, block_k)]  # (block_k,)
-        s = jax.lax.dot_general(
-            q, kblk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # (bq, bk) fp32
-        s = jnp.where(mblk[None, :] > 0, s, _MASK_VALUE)
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(vblk.dtype), vblk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
+        m0 = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
+        l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+        acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
 
-    m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+        def body(kb, carry):
+            m_i, l_i, acc = carry
+            kblk = k_ref[0, h, pl.ds(kb * block_k, block_k), :]
+            vblk = v_ref[0, h, pl.ds(kb * block_k, block_k), :]
+            mblk = mask_ref[0, 0, pl.ds(kb * block_k, block_k)]
+            s = jax.lax.dot_general(
+                q, kblk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            s = jnp.where(mblk[None, :] > 0, s, _MASK_VALUE)
+            m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_i - m_new)
+            l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(vblk.dtype), vblk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc
+
+        m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+        o_ref[0, h] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
 
 
 def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -124,40 +130,33 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
-    mp = jnp.pad(key_valid, ((0, 0), (0, sk_p - sk)))
+    # Mask as (B, 1, Sk): Mosaic tiling requires the last two block dims be
+    # (8k, 128k)-aligned or span the whole array.
+    mp = jnp.pad(key_valid, ((0, 0), (0, sk_p - sk)))[:, None, :]
 
-    bh = b * h
-    qp = qp.reshape(bh, sq_p, d_p)
-    kp = kp.reshape(bh, sk_p, d_p)
-    vp = vp.reshape(bh, sk_p, d_p)
-    # Broadcast the mask per-head to (BH, 1, Sk): Mosaic tiling requires the
-    # last two block dims be (8k, 128k)-aligned or span the whole array, and
-    # dynamic per-batch row loads are unsupported -- so give each program its
-    # own aligned (1, 1, Sk) block instead.
-    mp = jnp.broadcast_to(mp[:, None, :], (b, h, sk_p)).reshape(bh, 1, sk_p)
-
-    grid = (bh, sq_p // block_q)
+    grid = (b, sq_p // block_q)
     kernel = functools.partial(_flash_fwd_kernel, sm_scale=sm_scale,
-                               block_k=block_k, seq_k=sk_p)
+                               block_k=block_k, seq_k=sk_p, n_heads=h)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, h, block_q, d_p), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_p, d_p), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, h, sk_p, d_p), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_p, d_p), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, h, sk_p, d_p), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sk_p), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_p), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, h, block_q, d_p),
+                               lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d_p), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d_p), q.dtype),
         interpret=interpret,
     )(qp, kp, vp, mp)
-    return out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
+    return out[:, :, :sq, :d]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
