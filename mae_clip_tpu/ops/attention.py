@@ -159,6 +159,95 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :, :sq, :d]
 
 
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *,
+                      sm_scale: float, n_heads: int):
+    """Fused backward: one (batch,) program, heads unrolled, full sequence
+    in VMEM (this model family's sequences are short; a k-blocked variant
+    slots in for long-seq later). Standard flash-bwd math with softmax
+    recomputation:
+
+        P  = softmax(q k^T * scale)        (masked)
+        dV = P^T dO
+        dP = dO V^T
+        dS = P * (dP - rowsum(P * dP))
+        dQ = dS K * scale ;  dK = dS^T Q * scale
+    """
+    for h in range(n_heads):
+        q = q_ref[0, h]
+        kk = k_ref[0, h]
+        vv = v_ref[0, h]
+        do = do_ref[0, h].astype(jnp.float32)
+        mrow = mask_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, kk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(mrow[None, :] > 0, s, _MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.maximum(l, 1e-30)                      # (Sq, Sk) fp32
+
+        pt = p.astype(vv.dtype)
+        dv = jax.lax.dot_general(
+            pt, do.astype(vv.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (Sk, d)
+        dp = jax.lax.dot_general(
+            do.astype(vv.dtype), vv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (Sq, Sk)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, kk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, key_valid, g, sm_scale, interpret):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sq_p = _round_up(sq, 8)
+    sk_p = _round_up(sk, 8)
+    if key_valid is None:
+        key_valid = jnp.ones((b, sk), dtype=jnp.float32)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    mp = jnp.pad(key_valid.astype(jnp.float32),
+                 ((0, 0), (0, sk_p - sk)))[:, None, :]
+
+    kernel = functools.partial(_flash_bwd_kernel, sm_scale=sm_scale,
+                               n_heads=h)
+    spec_q = pl.BlockSpec((1, h, sq_p, d), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, h, sk_p, d), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec_q, spec_k, spec_k,
+                  pl.BlockSpec((1, 1, sk_p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  spec_q],
+        out_specs=(spec_q, spec_k, spec_k),
+        out_shape=(jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, sk_p, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, sk_p, d), v.dtype)),
+        interpret=interpret,
+    )(qp, kp, vp, mp, gp)
+    return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flash_attention(q, k, v, key_valid, sm_scale: float,
                     block_q: int = 128, block_k: int = 128,
@@ -176,15 +265,7 @@ def _flash_fwd_rule(q, k, v, key_valid, sm_scale, block_q, block_k, interpret):
 
 def _flash_bwd_rule(sm_scale, block_q, block_k, interpret, residuals, g):
     q, k, v, key_valid = residuals
-    # Recompute-based backward: exact gradients via the XLA path. A fused
-    # Pallas backward kernel can replace this without touching callers.
-    valid_bool = None if key_valid is None else key_valid.astype(bool)
-
-    def f(q, k, v):
-        return attention_xla(q, k, v, valid_bool, sm_scale)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = _flash_backward(q, k, v, key_valid, g, sm_scale, interpret)
     return dq, dk, dv, None
 
 
@@ -202,18 +283,21 @@ def multi_head_attention(
 ) -> jax.Array:
     """Dispatch between the XLA and Pallas implementations.
 
-    ``impl='auto'``: measured on v5e, XLA's fused attention wins at the
-    short sequences of this model family (<=256: 51-197 image tokens,
-    64-200 text tokens) where a separate kernel is pure launch/VMEM
-    overhead; the flash kernel wins once the score matrix stops fitting
-    fusion-friendly sizes. Cut over at seq_k >= 512 on TPU.
+    ``impl='auto'``: measured on v5e (b=8, h=12, d=64, bf16): XLA's fused
+    attention wins at this model family's short sequences (<=64-200
+    tokens, dispatch/fusion bound); the flash kernel wins at seq
+    256-1024 (score matrix stops fitting fusion-friendly sizes); beyond
+    ~2048 the current whole-sequence-per-program kernel exceeds VMEM
+    comfort and XLA wins again (a k-blocked HBM-DMA variant is the
+    future fix). Policy: pallas iff 256 <= seq_k <= 1024 on TPU.
     """
     d = q.shape[-1]
     scale = float(sm_scale) if sm_scale is not None else float(1.0 / d ** 0.5)
     if impl == "auto":
         import jax as _jax
         on_tpu = _jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and k.shape[2] >= 512) else "xla"
+        impl = ("pallas" if (on_tpu and 256 <= k.shape[2] <= 1024)
+                else "xla")
     if impl == "xla":
         return attention_xla(q, k, v, key_valid, scale)
     if impl == "pallas":
