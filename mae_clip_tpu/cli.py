@@ -126,7 +126,7 @@ def cmd_train(args) -> None:
     writer = MetricWriter(cfg.logdir)
     trainer = Trainer(cfg, model, variables["params"],
                       batch_stats=variables.get("batch_stats"), mesh=mesh,
-                      checkpoint_manager=mngr, writer=writer)
+                      checkpoint_manager=mngr, writer=writer, progress=True)
 
     epoch_seed = [cfg.seed]
 

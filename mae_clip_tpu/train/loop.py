@@ -241,7 +241,9 @@ class Trainer:
 
     def __init__(self, cfg: Config, model, params, tx=None,
                  batch_stats=None, mesh: Optional[Mesh] = None,
-                 checkpoint_manager=None, writer: Optional[MetricWriter] = None):
+                 checkpoint_manager=None,
+                 writer: Optional[MetricWriter] = None,
+                 progress: bool = False):
         self.cfg = cfg
         self.model = model
         self.mesh = mesh
@@ -254,8 +256,19 @@ class Trainer:
         self.checkpoint_manager = checkpoint_manager
         self.writer = writer
         self.best_loss = float("inf")
+        self.progress = progress
         n_chips = len(mesh.devices.flatten()) if mesh is not None else 1
         self.throughput = Throughput(num_chips=n_chips)
+
+    def _progress_bar(self, iterable, desc: str):
+        """tqdm wrapper (the reference's progress UX, main.py:53,66,81)."""
+        if not self.progress:
+            return iterable
+        try:
+            from tqdm import tqdm
+            return tqdm(iterable, desc=desc)
+        except ImportError:
+            return iterable
 
     def _prepare(self, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()
@@ -288,21 +301,28 @@ class Trainer:
     def train_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
         meter = AvgMeter("train_loss")
         self.throughput.start()
-        for raw, batch in self._device_prefetch(loader):
+        bar = self._progress_bar(self._device_prefetch(loader), "train")
+        for raw, batch in bar:
             count = self._count(raw)
             self.state, metrics = self.train_step(self.state, batch)
             if self.cfg.scheduler_step == "batch":
                 self._scheduler_step(float(metrics["loss"]))
             meter.update(float(metrics["loss"]), count)
             self.throughput.update(count)
+            if self.progress and hasattr(bar, "set_postfix"):
+                bar.set_postfix(train_loss=meter.avg,
+                                lr=current_lr(self.cfg, self.state.opt_state))
         return meter
 
     def valid_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
         meter = AvgMeter("valid_loss")
-        for batch in loader:
+        bar = self._progress_bar(loader, "valid")
+        for batch in bar:
             count = self._count(batch)
             metrics = self.eval_step(self.state, self._prepare(batch))
             meter.update(float(metrics["loss"]), count)
+            if self.progress and hasattr(bar, "set_postfix"):
+                bar.set_postfix(valid_loss=meter.avg)
         return meter
 
     def _scheduler_step(self, metric: float) -> None:
