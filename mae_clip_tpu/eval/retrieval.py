@@ -121,14 +121,17 @@ def make_retrieval_eval_fn(model, dataset, make_loader_fn, batch_size: int,
         text_emb = jnp.asarray(np.concatenate(text_chunks))[:n]
         # Ground truth by image FILENAME: the gallery has one row per
         # caption (images repeated 5x in COCO/Flickr), so any row of the
-        # right image counts as a hit.
-        kmax = max(ks)
+        # right image counts as a hit. K is clamped to the gallery size
+        # (tiny validation splits).
+        gallery_n = int(image_emb[:n].shape[0])
+        kmax = min(max(ks), gallery_n)
         _, idx = retrieval_topk(text_emb, image_emb[:n], k=kmax)
         idx = np.asarray(idx)
         names = np.asarray(dataset.image_filenames[:n])
         out = {}
         for k in ks:
-            hits = (names[idx[:, :k]] == names[:len(idx), None]).any(axis=1)
+            kk = min(k, gallery_n)
+            hits = (names[idx[:, :kk]] == names[:len(idx), None]).any(axis=1)
             out[f"eval/recall@{k}"] = float(hits.mean())
         return out
 
