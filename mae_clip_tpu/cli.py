@@ -160,14 +160,12 @@ def cmd_retrieve(args) -> None:
     from mae_clip_tpu.data.pipeline import CaptionDataset, make_loader
     from mae_clip_tpu.eval.retrieval import (compute_image_embeddings,
                                              find_matches)
-    from mae_clip_tpu.train.checkpoint import import_reference_checkpoint
+    from mae_clip_tpu.train.checkpoint import load_variables
 
     cfg = _load_config(args)
     tokenizer = _tokenizer(cfg)
     model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
-    variables = import_reference_checkpoint(args.checkpoint, cfg) \
-        if args.checkpoint.endswith(".pth") else _restore(args.checkpoint,
-                                                          cfg, model)
+    variables = load_variables(args.checkpoint, cfg)
 
     df = get_coco_captions_df(args.coco_val)
     ds = CaptionDataset(df["image"].values, df["caption"].values, tokenizer,
@@ -180,13 +178,6 @@ def cmd_retrieve(args) -> None:
     print(json.dumps({"query": args.query, "matches": matches}))
 
 
-def _restore(path: str, cfg: Config, model):
-    raise SystemExit(
-        "restoring framework-native checkpoints into the CLI needs the "
-        "model's abstract state; use train.checkpoint.CheckpointManager "
-        "from Python, or pass a reference .pth file")
-
-
 def cmd_zeroshot(args) -> None:
     import jax.numpy as jnp
     import numpy as np
@@ -194,12 +185,12 @@ def cmd_zeroshot(args) -> None:
     from mae_clip_tpu.data.images import decode_image, host_preprocess
     from mae_clip_tpu.eval.zeroshot import (build_zero_shot_classifier,
                                             zero_shot_probs)
-    from mae_clip_tpu.train.checkpoint import import_reference_checkpoint
+    from mae_clip_tpu.train.checkpoint import load_variables
 
     cfg = _load_config(args)
     tokenizer = _tokenizer(cfg)
     model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
-    variables = import_reference_checkpoint(args.checkpoint, cfg)
+    variables = load_variables(args.checkpoint, cfg)
 
     labels = args.labels.split(",")
     classifier = build_zero_shot_classifier(model, variables, tokenizer,
@@ -230,20 +221,20 @@ def cmd_import_pth(args) -> None:
 
 
 def cmd_serve(args) -> None:
-    """Serve embedding/retrieval/zero-shot over HTTP from a .pth checkpoint
-    + COCO validation gallery."""
+    """Serve embedding/retrieval/zero-shot over HTTP from any checkpoint
+    form (.pth / Trainer run dir / import-pth output) + COCO gallery."""
     import jax.numpy as jnp
 
     from mae_clip_tpu.data.coco import get_coco_captions_df
     from mae_clip_tpu.data.pipeline import CaptionDataset, make_loader
     from mae_clip_tpu.eval.retrieval import compute_image_embeddings
     from mae_clip_tpu.serve import RetrievalService, make_server
-    from mae_clip_tpu.train.checkpoint import import_reference_checkpoint
+    from mae_clip_tpu.train.checkpoint import load_variables
 
     cfg = _load_config(args)
     tokenizer = _tokenizer(cfg)
     model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
-    variables = import_reference_checkpoint(args.checkpoint, cfg)
+    variables = load_variables(args.checkpoint, cfg)
 
     gallery = None
     names = []

@@ -91,3 +91,48 @@ def import_reference_checkpoint(path: str, cfg: Config) -> Dict:
                                                    load_pth_state_dict)
     sd = load_pth_state_dict(path)
     return import_clip_state_dict(sd, model_name=cfg.model_name)
+
+
+def load_variables(path: str, cfg: Config) -> Dict:
+    """Load inference variables ({params[, batch_stats]}) from ANY supported
+    checkpoint form — the CLI/serving counterpart of the reference's single
+    ``load_state_dict(torch.load(path))`` (reference: inference.py:18):
+
+    * ``*.pth``              — reference torch state_dict (name-mapped import)
+    * Trainer run directory  — Orbax CheckpointManager layout written by
+      ``Trainer.fit`` (``<dir>/<epoch>/state``); picks the best-valid-loss
+      step, falling back to the latest
+    * ``import-pth`` output  — bare Orbax StandardCheckpointer tree
+
+    Orbax restores here pass no abstract pytree: shapes/dtypes come from the
+    checkpoint's own metadata, so no model init is needed for inference.
+    """
+    if path.endswith(".pth"):
+        return import_reference_checkpoint(path, cfg)
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(path)
+
+    step_dirs = [d for d in os.listdir(path) if d.isdigit()]
+    if step_dirs and os.path.isdir(
+            os.path.join(path, max(step_dirs, key=int), "state")):
+        mngr = ocp.CheckpointManager(path)
+        try:
+            step = mngr.best_step()
+            if step is None:
+                step = mngr.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoint steps under {path}")
+            restored = mngr.restore(
+                step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore()))
+        finally:
+            mngr.close()
+        state = restored["state"]
+        variables = {"params": state["params"]}
+        if state.get("batch_stats") is not None:
+            variables["batch_stats"] = state["batch_stats"]
+        return variables
+
+    restored = ocp.StandardCheckpointer().restore(path)
+    return dict(restored)

@@ -201,6 +201,30 @@ def test_trainer_fit_and_checkpoint(tmp_path):
     mngr.close()
     writer.close()
 
+    # CLI-style restore without abstract state: load_variables picks the
+    # best-valid-loss step out of the Trainer run directory.
+    from mae_clip_tpu.train.checkpoint import load_variables
+    best = CheckpointManager(cfg.checkpoints)._mngr.best_step()
+    loaded = load_variables(cfg.checkpoints, cfg)
+    assert set(loaded) == {"params"}   # ViT tower: no batch_stats
+    ref_mngr = CheckpointManager(cfg.checkpoints)
+    ref_state, _ = ref_mngr.restore(abstract_like(trainer.state), step=best)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(loaded["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ref_mngr.close()
+
+    # StandardCheckpointer form (what `cli import-pth` writes).
+    import orbax.checkpoint as ocp
+    bare = str(tmp_path / "bare")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(bare, {"params": trainer.state.params})
+    ckptr.wait_until_finished()
+    loaded2 = load_variables(bare, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(loaded2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_trainer_ragged_batch_metrics():
     """Count-weighted epoch loss over a ragged tail (reference AvgMeter)."""
