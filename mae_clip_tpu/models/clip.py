@@ -75,7 +75,8 @@ class CLIPModel(nn.Module):
             if cfg.mae.enabled:
                 dec = MAEDecoderConfig(dim=cfg.mae.decoder_dim,
                                        depth=cfg.mae.decoder_depth,
-                                       n_heads=cfg.mae.decoder_heads)
+                                       n_heads=cfg.mae.decoder_heads,
+                                       gelu=cfg.mae.decoder_gelu)
                 self.image_encoder = MAEViT(
                     vcfg, decoder=dec, mask_ratio=cfg.mae.mask_ratio,
                     remat=cfg.remat, **attn, **common)
@@ -154,9 +155,13 @@ class CLIPModel(nn.Module):
             image_features = self.image_encoder(batch["image"],
                                                 deterministic=not train)
 
+        # A frozen text tower runs deterministic (LiT-style) unless the
+        # reference-faithful recipe disables it (cfg.frozen_text_eval_mode).
+        text_det = (not train) or (not cfg.text_trainable
+                                   and cfg.frozen_text_eval_mode)
         text_features = self.text_encoder(batch["input_ids"],
                                           batch["attention_mask"],
-                                          deterministic=not train)
+                                          deterministic=text_det)
         image_embeddings = self.image_projection(image_features,
                                                  deterministic=not train)
         text_embeddings = self.text_projection(text_features,

@@ -40,8 +40,9 @@ from mae_clip_tpu.ops.masking import (random_masking,
 class MAEDecoderConfig:
     dim: int = 256
     depth: int = 4
-    n_heads: int = 8
+    n_heads: int = 2     # head_dim 128 = MXU lane width (see config.MAEConfig)
     mlp_ratio: float = 4.0
+    gelu: str = "tanh"   # no parity constraint on the decoder; ~2x cheaper
 
 
 class MAEOutput(NamedTuple):
@@ -90,7 +91,7 @@ class MAEViT(nn.Module):
                                      (1, 1, d.dim), self.param_dtype)
         dec_cfg = ViTConfig(image_size=c.image_size, patch_size=c.patch_size,
                             dim=d.dim, depth=d.depth, n_heads=d.n_heads,
-                            mlp_ratio=d.mlp_ratio)
+                            mlp_ratio=d.mlp_ratio, gelu=d.gelu)
         self.decoder_blocks = [
             ViTBlock(dec_cfg, **attn, **common, name=f"decoder_block_{i}")
             for i in range(d.depth)]

@@ -36,6 +36,12 @@ class ViTConfig:
     dropout: float = 0.0
     pos_embed: str = "learned"   # "learned" (timm-compatible) | "sincos" (MAE)
     pool: str = "cls"            # "cls" | "mean"
+    # MLP activation. "erf" is torch nn.GELU() — REQUIRED for timm weight
+    # parity (keep for any tower that loads .pth checkpoints). "tanh" is the
+    # BERT/GPT-2 approximation: measured ~2x cheaper fwd+bwd on the VPU at
+    # v5e (erf lowers to a long fp32 polynomial); used where no parity
+    # constraint exists (the MAE decoder, which the reference never shipped).
+    gelu: str = "erf"            # "erf" | "tanh"
 
     @property
     def grid_size(self) -> int:
@@ -185,7 +191,8 @@ class ViTBlock(nn.Module):
         # MLP (pre-LN).
         h = ln("norm2")(x)
         h = dense(int(c.dim * c.mlp_ratio), "mlp_fc1")(h)
-        h = gelu_exact(h)
+        h = (gelu_exact(h) if c.gelu == "erf"
+             else jax.nn.gelu(h, approximate=True))
         h = dense(c.dim, "mlp_fc2")(h)
         h = Dropout(c.dropout, name="mlp_drop")(h, deterministic)
         return x + h
