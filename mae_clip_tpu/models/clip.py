@@ -18,6 +18,7 @@ TPU-native additions:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Optional
 
 import jax
@@ -65,6 +66,12 @@ class CLIPModel(nn.Module):
         attn = dict(attn_impl=self.attn_impl,
                     attn_interpret=self.attn_interpret)
 
+        # cfg.gelu_impl overrides the towers' parity-exact erf GELU (the
+        # flagship from-scratch recipe uses "tanh"; see config.Config).
+        text_cfg = self.text_config
+        if cfg.gelu_impl is not None:
+            text_cfg = dataclasses.replace(text_cfg, gelu=cfg.gelu_impl)
+
         if cfg.model_name == "resnet50":
             if cfg.mae.enabled:
                 raise ValueError("MAE requires a ViT image tower")
@@ -72,6 +79,8 @@ class CLIPModel(nn.Module):
         else:
             vcfg = (self.vit_config if self.vit_config is not None
                     else vit_config_for(cfg))
+            if cfg.gelu_impl is not None:
+                vcfg = dataclasses.replace(vcfg, gelu=cfg.gelu_impl)
             if cfg.mae.enabled:
                 dec = MAEDecoderConfig(dim=cfg.mae.decoder_dim,
                                        depth=cfg.mae.decoder_depth,
@@ -84,7 +93,7 @@ class CLIPModel(nn.Module):
                 self.image_encoder = ViTEncoder(vcfg, remat=cfg.remat,
                                                 **attn, **common)
 
-        self.text_encoder = TextEncoder(self.text_config, remat=cfg.remat,
+        self.text_encoder = TextEncoder(text_cfg, remat=cfg.remat,
                                         **attn, **common)
         self.image_projection = ProjectionHead(cfg.projection_dim,
                                                cfg.dropout, **common)

@@ -41,6 +41,10 @@ class DistilBertConfig:
     dropout: float = 0.1
     attention_dropout: float = 0.1
     layer_norm_eps: float = 1e-12
+    # "erf" = HF's exact GELU (REQUIRED for HF weight parity); "tanh" is the
+    # ~2x-cheaper VPU approximation for from-scratch TPU recipes
+    # (config.Config.gelu_impl threads it here).
+    gelu: str = "erf"
 
 
 class Embeddings(nn.Module):
@@ -117,7 +121,8 @@ class TransformerBlock(nn.Module):
 
         ff = Dense(c.hidden_dim, dtype=self.dtype,
                    param_dtype=self.param_dtype, name="ffn_lin1")(h)
-        ff = gelu_exact(ff)
+        ff = (gelu_exact(ff) if c.gelu == "erf"
+              else jax.nn.gelu(ff, approximate=True))
         ff = Dense(c.dim, dtype=self.dtype, param_dtype=self.param_dtype,
                    name="ffn_lin2")(ff)
         ff = Dropout(c.dropout, name="ffn_dropout")(ff, deterministic)
