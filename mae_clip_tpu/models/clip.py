@@ -71,6 +71,10 @@ class CLIPModel(nn.Module):
         text_cfg = self.text_config
         if cfg.gelu_impl is not None:
             text_cfg = dataclasses.replace(text_cfg, gelu=cfg.gelu_impl)
+        # Head-geometry overrides apply only to canonical tower geometry;
+        # an explicitly-passed custom tower config keeps its own heads.
+        if cfg.text_heads is not None and text_cfg.dim % cfg.text_heads == 0:
+            text_cfg = dataclasses.replace(text_cfg, n_heads=cfg.text_heads)
 
         if cfg.model_name == "resnet50":
             if cfg.mae.enabled:
@@ -81,6 +85,9 @@ class CLIPModel(nn.Module):
                     else vit_config_for(cfg))
             if cfg.gelu_impl is not None:
                 vcfg = dataclasses.replace(vcfg, gelu=cfg.gelu_impl)
+            if (self.vit_config is None and cfg.image_heads is not None
+                    and vcfg.dim % cfg.image_heads == 0):
+                vcfg = dataclasses.replace(vcfg, n_heads=cfg.image_heads)
             if cfg.mae.enabled:
                 dec = MAEDecoderConfig(dim=cfg.mae.decoder_dim,
                                        depth=cfg.mae.decoder_depth,
