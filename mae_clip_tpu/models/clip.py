@@ -124,8 +124,10 @@ class CLIPModel(nn.Module):
 
     def encode_text(self, input_ids: jax.Array, attention_mask: jax.Array,
                     train: bool = False) -> jax.Array:
+        det = (not train) or (not self.cfg.text_trainable
+                              and self.cfg.frozen_text_eval_mode)
         return self.text_encoder(input_ids, attention_mask,
-                                 deterministic=not train)
+                                 deterministic=det)
 
     def project_image(self, feats: jax.Array, train: bool = False) -> jax.Array:
         return self.image_projection(feats, deterministic=not train)

@@ -80,3 +80,73 @@ def test_scheduler_quirk_py_vs_notebook():
 
     assert run("py") == 1.0              # scheduler never fires (faithful)
     assert run("notebook") < 1.0         # plateau reduces LR
+
+
+def test_tpu_first_knobs():
+    """gelu_impl / image_heads / text_heads / frozen_text_eval_mode:
+    flagship opts in; defaults stay parity-exact (None/erf/canonical)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mae_clip_tpu.models.clip import CLIPModel
+    from tests.test_train import TINY_TEXT, TINY_VIT, build, tiny_batch, tiny_cfg
+
+    cfg = flagship_tpu_config()
+    assert cfg.gelu_impl == "tanh"
+    assert cfg.image_heads == 3 and cfg.text_heads == 6
+    assert cfg.frozen_text_eval_mode is True
+    # Defaults keep weight-interop geometry / exact erf GELU.
+    base = Config()
+    assert base.gelu_impl is None
+    assert base.image_heads is None and base.text_heads is None
+    from mae_clip_tpu.config import reference_py_config
+    assert reference_py_config().frozen_text_eval_mode is False
+
+    # gelu_impl actually changes the math (tanh vs erf differ in bf16/fp32).
+    rng = np.random.default_rng(3)
+    batch = tiny_batch(rng)
+    outs = {}
+    for impl in (None, "tanh"):
+        cfg_t = tiny_cfg(gelu_impl=impl)
+        model = CLIPModel(cfg_t, text_config=TINY_TEXT, vit_config=TINY_VIT)
+        variables = model.init(jax.random.PRNGKey(0), batch,
+                               mask_rng=jax.random.PRNGKey(1))
+        out = model.apply(variables, batch, mask_rng=jax.random.PRNGKey(1))
+        outs[impl] = float(out["loss"])
+    assert outs[None] != outs["tanh"]
+
+    # Head overrides skip towers whose dim they do not divide (tiny towers),
+    # rather than erroring out.
+    cfg_h = tiny_cfg(image_heads=3, text_heads=6)
+    model, variables, batch = build(cfg_h)
+    out = model.apply(variables, batch, mask_rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_frozen_text_eval_mode_semantics():
+    """With the knob on, a frozen text tower produces identical text
+    embeddings in train and eval mode (no dropout noise); the faithful
+    reference mode (knob off) requires dropout rng at train time."""
+    import jax
+    import numpy as np
+    from mae_clip_tpu.models.clip import CLIPModel
+    from tests.test_train import TINY_TEXT, TINY_VIT, tiny_batch, tiny_cfg
+
+    rng = np.random.default_rng(5)
+    batch = tiny_batch(rng)
+    cfg = tiny_cfg(text_trainable=False, frozen_text_eval_mode=True,
+                   dropout=0.5)
+    model = CLIPModel(cfg, text_config=TINY_TEXT, vit_config=TINY_VIT)
+    variables = model.init(jax.random.PRNGKey(0), batch,
+                           mask_rng=jax.random.PRNGKey(1))
+
+    # Text FEATURES (pre-projection): with the knob on they match between
+    # train and eval exactly (the frozen tower runs deterministic).
+    def text_feats(train):
+        rngs = {"dropout": jax.random.PRNGKey(7)} if train else {}
+        feats = model.apply(variables, batch["input_ids"],
+                            batch["attention_mask"], train=train,
+                            method=model.encode_text, rngs=rngs)
+        return np.asarray(feats, dtype=np.float64)
+
+    np.testing.assert_array_equal(text_feats(True), text_feats(False))
