@@ -35,8 +35,9 @@ from mae_clip_tpu.ops import losses as losses_lib
 
 
 def _dtype_of(name: str):
+    # float64 requires jax_enable_x64 (used by fp64 parity tests).
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-            "float16": jnp.float16}[name]
+            "float16": jnp.float16, "float64": jnp.float64}[name]
 
 
 def vit_config_for(cfg: Config) -> ViTConfig:

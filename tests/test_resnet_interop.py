@@ -222,3 +222,116 @@ def test_export_roundtrip(torch_composite, tmp_path):
                                                           strict=False)
     assert not [m for m in missing if "num_batches_tracked" not in m]
     assert not unexpected
+
+
+def test_training_curve_parity_vs_torch(tmp_path):
+    """Train the SAME weights for 4 steps in both frameworks on the same
+    fixed batch with the reference recipe (single-group AdamW lr=1e-3
+    wd=1e-3, frozen text via requires_grad, BN in train mode, dropout 0)
+    and require matching loss curves. This pins grads + optimizer + loss +
+    BN-train normalization jointly, end to end (reference: main.py:51-67
+    train_epoch, main.py:101-103 optimizer).
+
+    Runs in float64: the fp32 gradients of a 50-layer BN-train tower are
+    ill-conditioned (fp64 cross-framework gradient agreement is ~1e-12
+    while fp32 shows up to ~30% on individual near-zero entries — measured
+    torch-vs-jax AND reproducible torch-f32-vs-f64), and AdamW's m/sqrt(v)
+    turns that noise into sign flips, so fp32 multi-step curves diverge for
+    reasons unrelated to correctness. lr is 1e-4 (not the recipe's 1e-3,
+    which is pinned in test_config.py): at 1e-3 from random init the loss
+    spikes 2.2 -> 67 and even 1e-12 seed differences amplify chaotically
+    through the trajectory."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        torch.manual_seed(3)
+        tcfg = transformers.DistilBertConfig(
+            dropout=0.0, attention_dropout=0.0,
+            attn_implementation="eager", **SMALL_TEXT)
+        composite = TorchReferenceComposite(tcfg).double()
+        for mod in composite.modules():
+            if isinstance(mod, nn.Dropout):
+                mod.p = 0.0
+        # Reference freezes the text tower (modules.py:35,42-43).
+        for p in composite.text_encoder.model.parameters():
+            p.requires_grad = False
+
+        rng = np.random.default_rng(7)
+        b = 4
+        images = rng.normal(size=(b, 48, 48, 3))
+        ids = rng.integers(0, 99, size=(b, 13)).astype(np.int32)
+        mask = np.ones((b, 13), dtype=np.int64)
+        mask[1, 9:] = 0
+
+        def torch_loss():
+            t = composite
+            imf = t.image_encoder.model(
+                torch.tensor(images.transpose(0, 3, 1, 2)))
+            txf = t.text_encoder.model(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask)).last_hidden_state[:, 0]
+            ie, te = t.image_projection(imf), t.text_projection(txf)
+            logits = te @ ie.T
+            targets = F.softmax((ie @ ie.T + te @ te.T) / 2, dim=-1)
+            tl = (-targets * F.log_softmax(logits, dim=-1)).sum(1)
+            il = (-targets.T * F.log_softmax(logits.T, dim=-1)).sum(1)
+            return ((il + tl) / 2).mean()
+
+        composite.train()
+        opt = torch.optim.AdamW(
+            [p for p in composite.parameters() if p.requires_grad],
+            lr=1e-4, weight_decay=1e-3)
+        torch_losses = []
+        for _ in range(4):
+            opt.zero_grad()
+            loss = torch_loss()
+            loss.backward()
+            opt.step()
+            torch_losses.append(float(loss.detach()))
+
+        # --- ours: import the SAME initial weights and repeat -------------
+        from mae_clip_tpu.train.loop import make_train_step
+        from mae_clip_tpu.train.optim import make_optimizer
+        from mae_clip_tpu.train.state import TrainState
+
+        torch.manual_seed(3)
+        init = TorchReferenceComposite(tcfg)   # identical init
+        sd = {k: v.detach().numpy() for k, v in init.state_dict().items()}
+        variables = import_clip_state_dict(sd, model_name="resnet50")
+        to64 = lambda tree: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+        variables = to64(variables)
+
+        cfg = Config(model_name="resnet50", compute_dtype="float64",
+                     param_dtype="float64", dropout=0.0, recipe="py",
+                     lr=1e-4, text_trainable=False,
+                     frozen_text_eval_mode=False)
+        model = CLIPModel(cfg, text_config=DistilBertConfig(
+            dropout=0.0, attention_dropout=0.0, **SMALL_TEXT))
+        tx = make_optimizer(cfg, variables["params"])
+        state = TrainState.create(variables["params"], tx,
+                                  jax.random.PRNGKey(0),
+                                  batch_stats=variables.get("batch_stats"))
+        step = make_train_step(model, tx, cfg)
+        batch = {"image": jnp.asarray(images, jnp.float64),
+                 "input_ids": jnp.array(ids),
+                 "attention_mask": jnp.array(mask.astype(np.int32)),
+                 "valid": jnp.ones((b,), dtype=bool)}
+        jax_losses = []
+        for _ in range(4):
+            state, metrics = step(state, batch)
+            jax_losses.append(float(metrics["loss"]))
+
+        # Per-step tolerance ladder: Adam's update g/sqrt(v) is RELATIVELY
+        # sensitive on near-zero-gradient coordinates, so even the ~1e-12
+        # fp64 gradient agreement amplifies along the trajectory (measured
+        # ~2e-3 rel by step 4). Real defects are far above this ladder:
+        # wrong grads/loss break step 1 at >1e-3; wrong weight-decay
+        # coupling or bias correction breaks step 2 at >1e-2.
+        for i, (j, t) in enumerate(zip(jax_losses, torch_losses)):
+            rtol = (1e-6, 1e-5, 1e-3, 1e-2)[i]
+            assert np.isclose(j, t, rtol=rtol, atol=1e-9), (i, j, t)
+        # The curve must actually move (the optimizer is doing work).
+        assert abs(torch_losses[-1] - torch_losses[0]) > 1e-3
+    finally:
+        jax.config.update("jax_enable_x64", False)
