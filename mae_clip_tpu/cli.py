@@ -178,6 +178,36 @@ def cmd_retrieve(args) -> None:
     print(json.dumps({"query": args.query, "matches": matches}))
 
 
+def cmd_eval(args) -> None:
+    """Bidirectional retrieval recall@K over a captions dataset (the
+    reference has no batch eval at all — its retrieval is one query at a
+    time, inference.py:29-47)."""
+    from mae_clip_tpu.data.coco import get_coco_captions_df
+    from mae_clip_tpu.data.flickr import make_train_valid_dfs
+    from mae_clip_tpu.data.pipeline import CaptionDataset, make_loader
+    from mae_clip_tpu.eval.retrieval import evaluate_retrieval
+    from mae_clip_tpu.train.checkpoint import load_variables
+
+    cfg = _load_config(args)
+    tokenizer = _tokenizer(cfg)
+    model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
+    variables = load_variables(args.checkpoint, cfg)
+
+    if args.coco_val:
+        df = get_coco_captions_df(args.coco_val)
+    elif args.captions_dir:
+        _, df = make_train_valid_dfs(args.captions_dir, debug=cfg.debug)
+    else:
+        raise SystemExit("pass --coco-val or --captions-dir")
+    ds = CaptionDataset(df["image"].values, df["caption"].values, tokenizer,
+                        image_path=cfg.image_path, size=cfg.size,
+                        max_length=cfg.max_length)
+    metrics = evaluate_retrieval(
+        model, variables, ds, lambda d, b: make_loader(d, b),
+        batch_size=cfg.batch_size, max_samples=args.max_samples)
+    print(json.dumps(metrics))
+
+
 def cmd_zeroshot(args) -> None:
     import jax.numpy as jnp
     import numpy as np
@@ -295,6 +325,14 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--query", required=True)
     p.add_argument("-n", type=int, default=9)
     p.set_defaults(fn=cmd_retrieve)
+
+    p = sub.add_parser("eval", help="retrieval recall@K (t2i and i2t)")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--coco-val")
+    p.add_argument("--captions-dir")
+    p.add_argument("--max-samples", type=int, default=None)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("zeroshot", help="zero-shot label probe on one image")
     _add_config_args(p)

@@ -138,6 +138,65 @@ def make_retrieval_eval_fn(model, dataset, make_loader_fn, batch_size: int,
     return eval_fn
 
 
+def evaluate_retrieval(model, variables, dataset, make_loader_fn,
+                       batch_size: int, ks: Sequence[int] = (1, 5, 10),
+                       max_samples: Optional[int] = None) -> Dict[str, float]:
+    """Standalone bidirectional retrieval evaluation over a caption dataset.
+
+    Returns text→image AND image→text recall@K (the reference only ships
+    text→image, inference.py:29-47; i2t is the standard companion metric).
+    Ground truth is filename-matched: the dataset has one row per caption
+    with images repeated (reference gallery layout), so
+    * t2i: a text query hits if any top-K gallery row is its own image
+      (gallery deduped to unique images first);
+    * i2t: a unique image hits if any top-K caption row names it.
+    """
+    n = len(dataset) if max_samples is None else min(len(dataset),
+                                                     max_samples)
+    loader = make_loader_fn(dataset, batch_size)
+    row_img_emb = np.asarray(compute_image_embeddings(model, variables,
+                                                      loader))[:n]
+
+    @jax.jit
+    def embed_text(variables, ids, mask):
+        feats = model.apply(variables, ids, mask, method=model.encode_text)
+        return model.apply(variables, feats, method=model.project_text)
+
+    text_chunks = []
+    for start in range(0, n, batch_size):
+        ids = jnp.asarray(dataset.input_ids[start:start + batch_size])
+        mask = jnp.asarray(dataset.attention_mask[start:start + batch_size])
+        text_chunks.append(np.asarray(embed_text(variables, ids, mask)))
+    text_emb = np.concatenate(text_chunks)[:n]
+
+    names = np.asarray(dataset.image_filenames[:n])
+    # Unique images, order-preserving (first caption row of each image).
+    uniq_names, first_idx = np.unique(names, return_index=True)
+    order = np.argsort(first_idx)
+    uniq_names, first_idx = uniq_names[order], first_idx[order]
+    uniq_emb = jnp.asarray(row_img_emb[first_idx])
+
+    out: Dict[str, float] = {}
+    kmax_t2i = min(max(ks), len(uniq_names))
+    _, idx = retrieval_topk(jnp.asarray(text_emb), uniq_emb, k=kmax_t2i)
+    idx = np.asarray(idx)
+    for k in ks:
+        kk = min(k, kmax_t2i)
+        hits = (uniq_names[idx[:, :kk]] == names[:, None]).any(axis=1)
+        out[f"t2i_recall@{k}"] = float(hits.mean())
+
+    kmax_i2t = min(max(ks), n)
+    _, idx = retrieval_topk(uniq_emb, jnp.asarray(text_emb), k=kmax_i2t)
+    idx = np.asarray(idx)
+    for k in ks:
+        kk = min(k, kmax_i2t)
+        hits = (names[idx[:, :kk]] == uniq_names[:, None]).any(axis=1)
+        out[f"i2t_recall@{k}"] = float(hits.mean())
+    out["num_captions"] = float(n)
+    out["num_images"] = float(len(uniq_names))
+    return out
+
+
 def recall_at_k(text_embeddings: jax.Array, image_embeddings: jax.Array,
                 text_to_image: np.ndarray, ks: Sequence[int] = (1, 5, 10)
                 ) -> Dict[str, float]:

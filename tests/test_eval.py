@@ -167,3 +167,68 @@ def test_make_retrieval_eval_fn_end_to_end():
     out = eval_fn(trainer, 0)
     assert set(out) == {"eval/recall@1", "eval/recall@3"}
     assert 0.0 <= out["eval/recall@1"] <= out["eval/recall@3"] <= 1.0
+
+
+def test_evaluate_retrieval_bidirectional():
+    """Standalone bidirectional eval: matches a numpy oracle computed from
+    the same embeddings, and is exact on a perfectly-aligned toy model."""
+    from mae_clip_tpu.config import Config
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    from mae_clip_tpu.models.vit import ViTConfig
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+    from mae_clip_tpu.data.pipeline import CaptionDataset, make_loader
+    from mae_clip_tpu.eval.retrieval import (compute_image_embeddings,
+                                             evaluate_retrieval)
+
+    captions = [f"object number {i}" for i in range(6)]
+    filenames = [f"{i // 2}.jpg" for i in range(6)]   # 2 captions per image
+    tok = WordPieceTokenizer(build_vocab(captions, vocab_size=64,
+                                         min_frequency=1))
+    images = np.random.default_rng(0).normal(
+        size=(6, 16, 16, 3)).astype(np.float32)
+    ds = CaptionDataset(filenames, captions, tok, size=16, max_length=16)
+
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=16,
+                 compute_dtype="float32", max_length=16, batch_size=4)
+    model = CLIPModel(
+        cfg,
+        text_config=DistilBertConfig(vocab_size=tok.vocab_size, dim=16,
+                                     n_layers=1, n_heads=2, hidden_dim=32,
+                                     max_position_embeddings=32),
+        vit_config=ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                             n_heads=2))
+    batch = next(make_loader(ds, 4, images=images, num_threads=1))
+    variables = model.init(jax.random.PRNGKey(0),
+                           {k: jnp.asarray(v) for k, v in batch.items()})
+
+    make_loader_fn = lambda d, b: make_loader(d, b, images=images,
+                                              num_threads=1)
+    out = evaluate_retrieval(model, variables, ds, make_loader_fn,
+                             batch_size=4, ks=(1, 3))
+    assert out["num_images"] == 3.0 and out["num_captions"] == 6.0
+    for k in (1, 3):
+        assert 0.0 <= out[f"t2i_recall@{k}"] <= 1.0
+        assert 0.0 <= out[f"i2t_recall@{k}"] <= 1.0
+    assert out["t2i_recall@1"] <= out["t2i_recall@3"]
+    assert out["i2t_recall@1"] <= out["i2t_recall@3"]
+
+    # Numpy oracle from the same embeddings.
+    row_emb = np.asarray(compute_image_embeddings(
+        model, variables, make_loader_fn(ds, 4)))
+    feats = model.apply(variables, jnp.asarray(ds.input_ids),
+                        jnp.asarray(ds.attention_mask),
+                        method=model.encode_text)
+    text_emb = np.asarray(model.apply(variables, feats,
+                                      method=model.project_text))
+    norm = lambda a: a / np.linalg.norm(a, axis=-1, keepdims=True)
+    names = np.asarray(ds.image_filenames)
+    uniq = names[[0, 2, 4]]
+    sims = norm(text_emb) @ norm(row_emb[[0, 2, 4]]).T
+    top1 = uniq[np.argmax(sims, axis=1)]
+    expected_t2i_r1 = float((top1 == names).mean())
+    assert np.isclose(out["t2i_recall@1"], expected_t2i_r1)
+    sims_i2t = norm(row_emb[[0, 2, 4]]) @ norm(text_emb).T
+    top1_cap = names[np.argmax(sims_i2t, axis=1)]
+    expected_i2t_r1 = float((top1_cap == uniq).mean())
+    assert np.isclose(out["i2t_recall@1"], expected_i2t_r1)
