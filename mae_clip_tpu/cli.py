@@ -193,18 +193,27 @@ def cmd_eval(args) -> None:
     model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
     variables = load_variables(args.checkpoint, cfg)
 
-    if args.coco_val:
-        df = get_coco_captions_df(args.coco_val)
-    elif args.captions_dir:
-        _, df = make_train_valid_dfs(args.captions_dir, debug=cfg.debug)
-    else:
-        raise SystemExit("pass --coco-val or --captions-dir")
-    ds = CaptionDataset(df["image"].values, df["caption"].values, tokenizer,
-                        image_path=cfg.image_path, size=cfg.size,
-                        max_length=cfg.max_length)
-    metrics = evaluate_retrieval(
-        model, variables, ds, lambda d, b: make_loader(d, b),
-        batch_size=cfg.batch_size, max_samples=args.max_samples)
+    metrics = {}
+    if args.zeroshot_dir:
+        from mae_clip_tpu.eval.zeroshot import zero_shot_dir_eval
+        zs = zero_shot_dir_eval(
+            model, variables, tokenizer, args.zeroshot_dir, size=cfg.size,
+            batch_size=cfg.batch_size, template=args.template)
+        metrics.update({f"zeroshot_{k}": v for k, v in zs.items()})
+    if args.coco_val or args.captions_dir:
+        if args.coco_val:
+            df = get_coco_captions_df(args.coco_val)
+        else:
+            _, df = make_train_valid_dfs(args.captions_dir, debug=cfg.debug)
+        ds = CaptionDataset(df["image"].values, df["caption"].values,
+                            tokenizer, image_path=cfg.image_path,
+                            size=cfg.size, max_length=cfg.max_length)
+        metrics.update(evaluate_retrieval(
+            model, variables, ds, lambda d, b: make_loader(d, b),
+            batch_size=cfg.batch_size, max_samples=args.max_samples))
+    if not metrics:
+        raise SystemExit("pass --coco-val, --captions-dir, or "
+                         "--zeroshot-dir")
     print(json.dumps(metrics))
 
 
@@ -326,11 +335,15 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("-n", type=int, default=9)
     p.set_defaults(fn=cmd_retrieve)
 
-    p = sub.add_parser("eval", help="retrieval recall@K (t2i and i2t)")
+    p = sub.add_parser("eval", help="retrieval recall@K (t2i and i2t) "
+                                    "and/or zero-shot accuracy")
     _add_config_args(p)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--coco-val")
     p.add_argument("--captions-dir")
+    p.add_argument("--zeroshot-dir",
+                   help="class-per-subdirectory image tree")
+    p.add_argument("--template", default="a photo of a {}")
     p.add_argument("--max-samples", type=int, default=None)
     p.set_defaults(fn=cmd_eval)
 

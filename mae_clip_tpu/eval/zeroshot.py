@@ -64,7 +64,9 @@ def zero_shot_accuracy(model, variables, loader: Iterable[Dict],
         feats = model.apply(variables, images, method=model.encode_image)
         return model.apply(variables, feats, method=model.project_image)
 
-    kmax = max(ks)
+    # Clamp K to the number of classes (e.g. top-5 on a 4-class probe).
+    n_classes = int(classifier.shape[0])
+    kmax = min(max(ks), n_classes)
     hits = {k: 0 for k in ks}
     total = 0
     for batch in loader:
@@ -75,10 +77,58 @@ def zero_shot_accuracy(model, variables, loader: Iterable[Dict],
         valid = np.asarray(batch.get("valid",
                                      np.ones(len(labels), dtype=bool)))
         for k in ks:
-            hits[k] += int(((topk[:, :k] == labels[:, None]).any(axis=1)
+            kk = min(k, n_classes)
+            hits[k] += int(((topk[:, :kk] == labels[:, None]).any(axis=1)
                             & valid).sum())
         total += int(valid.sum())
     return {f"top{k}_accuracy": hits[k] / max(total, 1) for k in ks}
+
+
+def zero_shot_dir_eval(model, variables, tokenizer, directory: str,
+                       size: int, batch_size: int = 64,
+                       template: str = "a photo of a {}",
+                       ks: Sequence[int] = (1, 5)) -> Dict[str, float]:
+    """Zero-shot accuracy over a class-per-subdirectory image tree
+    (``directory/<class_name>/*.jpg``) — the CIFAR.ipynb protocol at
+    dataset scale. Batches are static-shape: the ragged tail is padded and
+    ``valid``-masked (never dropped)."""
+    import os
+
+    from mae_clip_tpu.data.images import decode_image, host_preprocess
+
+    class_names = sorted(d for d in os.listdir(directory)
+                         if os.path.isdir(os.path.join(directory, d)))
+    if not class_names:
+        raise ValueError(f"no class subdirectories under {directory}")
+    paths, labels = [], []
+    for li, cname in enumerate(class_names):
+        cdir = os.path.join(directory, cname)
+        for fname in sorted(os.listdir(cdir)):
+            paths.append(os.path.join(cdir, fname))
+            labels.append(li)
+
+    classifier = build_zero_shot_classifier(model, variables, tokenizer,
+                                            class_names, template)
+
+    def loader():
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start:start + batch_size]
+            imgs = np.stack([host_preprocess(decode_image(p), size)
+                             for p in chunk])
+            lab = np.asarray(labels[start:start + batch_size])
+            valid = np.ones(len(chunk), dtype=bool)
+            if len(chunk) < batch_size:       # pad + mask the ragged tail
+                pad = batch_size - len(chunk)
+                imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                                      imgs.dtype)])
+                lab = np.concatenate([lab, np.zeros(pad, lab.dtype)])
+                valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+            yield {"image": imgs, "label": lab, "valid": valid}
+
+    out = zero_shot_accuracy(model, variables, loader(), classifier, ks=ks)
+    out["num_images"] = float(len(paths))
+    out["num_classes"] = float(len(class_names))
+    return out
 
 
 def classify_one(model, variables, tokenizer, image_embedding: jax.Array,

@@ -232,3 +232,84 @@ def test_evaluate_retrieval_bidirectional():
     top1_cap = names[np.argmax(sims_i2t, axis=1)]
     expected_i2t_r1 = float((top1_cap == uniq).mean())
     assert np.isclose(out["i2t_recall@1"], expected_i2t_r1)
+
+
+def test_zero_shot_accuracy_and_dir_eval(tmp_path):
+    """zero_shot_accuracy vs a numpy oracle on the same embeddings, and the
+    class-per-subdirectory evaluator end to end (ragged tail masked)."""
+    import cv2
+
+    from mae_clip_tpu.config import Config
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    from mae_clip_tpu.models.vit import ViTConfig
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+    from mae_clip_tpu.eval.zeroshot import (build_zero_shot_classifier,
+                                            zero_shot_accuracy,
+                                            zero_shot_dir_eval,
+                                            zero_shot_probs)
+
+    classes = ["red", "green", "blue"]
+    tok = WordPieceTokenizer(build_vocab(
+        [f"a photo of a {c}" for c in classes], vocab_size=64,
+        min_frequency=1))
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=16,
+                 compute_dtype="float32", max_length=16, batch_size=4)
+    model = CLIPModel(
+        cfg,
+        text_config=DistilBertConfig(vocab_size=tok.vocab_size, dim=16,
+                                     n_layers=1, n_heads=2, hidden_dim=32,
+                                     max_position_embeddings=32),
+        vit_config=ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                             n_heads=2))
+    rng = np.random.default_rng(0)
+    init_batch = {
+        "image": jnp.asarray(rng.normal(size=(4, 16, 16, 3)),
+                             jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(0, tok.vocab_size,
+                                              size=(4, 8)), jnp.int32),
+        "attention_mask": jnp.ones((4, 8), jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), init_batch)
+
+    classifier = build_zero_shot_classifier(model, variables, tok, classes)
+    # 7 images across 3 classes (ragged vs batch 4) -> 2 batches w/ padding.
+    images = rng.normal(size=(7, 16, 16, 3)).astype(np.float32)
+    labels = np.array([0, 1, 2, 0, 1, 2, 0])
+
+    def loader():
+        for s in range(0, 7, 4):
+            img, lab = images[s:s + 4], labels[s:s + 4]
+            valid = np.ones(len(img), dtype=bool)
+            if len(img) < 4:
+                pad = 4 - len(img)
+                img = np.concatenate([img, np.zeros((pad, 16, 16, 3),
+                                                    np.float32)])
+                lab = np.concatenate([lab, np.zeros(pad, lab.dtype)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            yield {"image": img, "label": lab, "valid": valid}
+
+    out = zero_shot_accuracy(model, variables, loader(), classifier,
+                             ks=(1, 2))
+
+    # Oracle: probs on the 7 real images.
+    feats = model.apply(variables, jnp.asarray(images),
+                        method=model.encode_image)
+    emb = model.apply(variables, feats, method=model.project_image)
+    probs = np.asarray(zero_shot_probs(emb, classifier))
+    top1 = probs.argmax(axis=1)
+    assert np.isclose(out["top1_accuracy"], (top1 == labels).mean())
+    order = np.argsort(-probs, axis=1)
+    top2_hit = (order[:, :2] == labels[:, None]).any(axis=1)
+    assert np.isclose(out["top2_accuracy"], top2_hit.mean())
+
+    # Directory evaluator end to end (writes real image files).
+    for ci, c in enumerate(classes):
+        d = tmp_path / c
+        d.mkdir()
+        for j in range(2):
+            img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(d / f"{j}.png"), img)
+    res = zero_shot_dir_eval(model, variables, tok, str(tmp_path), size=16,
+                             batch_size=4, ks=(1,))
+    assert res["num_images"] == 6.0 and res["num_classes"] == 3.0
+    assert 0.0 <= res["top1_accuracy"] <= 1.0
