@@ -40,6 +40,10 @@ class MAEConfig:
     norm_pix_loss: bool = True
     # Joint objective weight: L = L_infonce + lambda * L_mae.
     loss_weight: float = 1.0
+    # Decoder attention impl override (None = inherit the model-wide one):
+    # the decoder runs the full 197-token sequence at few heads, a distinct
+    # perf regime from the towers. "xla" | "pallas" | "pallas_qkv" | "auto".
+    decoder_attn_impl: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -96,6 +96,7 @@ class CLIPModel(nn.Module):
                                        gelu=cfg.mae.decoder_gelu)
                 self.image_encoder = MAEViT(
                     vcfg, decoder=dec, mask_ratio=cfg.mae.mask_ratio,
+                    decoder_attn_impl=cfg.mae.decoder_attn_impl,
                     remat=cfg.remat, **attn, **common)
             else:
                 self.image_encoder = ViTEncoder(vcfg, remat=cfg.remat,

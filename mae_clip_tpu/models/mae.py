@@ -60,6 +60,10 @@ class MAEViT(nn.Module):
     mask_ratio: float = 0.75
     channels: int = 3
     attn_impl: str = "xla"
+    # Decoder blocks may use a different attention impl than the (parity-
+    # bound) encoder: the decoder runs the full 197-token sequence at few
+    # heads, a shape where kernel choice matters most. None = inherit.
+    decoder_attn_impl: Optional[str] = None
     attn_interpret: bool = False
     use_pallas_patch_embed: bool = False
     remat: bool = False
@@ -92,8 +96,10 @@ class MAEViT(nn.Module):
         dec_cfg = ViTConfig(image_size=c.image_size, patch_size=c.patch_size,
                             dim=d.dim, depth=d.depth, n_heads=d.n_heads,
                             mlp_ratio=d.mlp_ratio, gelu=d.gelu)
+        dec_attn = dict(attn, attn_impl=(self.decoder_attn_impl
+                                         or self.attn_impl))
         self.decoder_blocks = [
-            ViTBlock(dec_cfg, **attn, **common, name=f"decoder_block_{i}")
+            ViTBlock(dec_cfg, **dec_attn, **common, name=f"decoder_block_{i}")
             for i in range(d.depth)]
         self.decoder_norm = LayerNorm(epsilon=1e-6, **common)
         patch_dim = c.patch_size * c.patch_size * self.channels

@@ -22,7 +22,7 @@ import numpy as np
 from flax import linen as nn
 
 from mae_clip_tpu.models.layers import Dense, Dropout, LayerNorm, gelu_exact
-from mae_clip_tpu.ops.attention import multi_head_attention
+from mae_clip_tpu.ops.attention import fused_qkv_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,22 +170,20 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.config
-        b, s, _ = x.shape
         dh = c.dim // c.n_heads
         ln = lambda name: LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                     param_dtype=self.param_dtype, name=name)
         dense = lambda feats, name: Dense(feats, dtype=self.dtype,
                                           param_dtype=self.param_dtype,
                                           name=name)
-        # Attention (pre-LN). qkv fused into one matmul like timm.
+        # Attention (pre-LN). qkv fused into one matmul like timm; the packed
+        # (B, S, 3*H*Dh) output feeds fused_qkv_attention directly — the
+        # non-packed impls unpack inside and bit-match the canonical path.
         h = ln("norm1")(x)
         qkv = dense(3 * c.dim, "attn_qkv")(h)
-        qkv = qkv.reshape(b, s, 3, c.n_heads, dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        ctx = multi_head_attention(q, k, v, sm_scale=1.0 / dh ** 0.5,
-                                   impl=self.attn_impl,
-                                   interpret=self.attn_interpret)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, c.dim)
+        ctx = fused_qkv_attention(qkv, c.n_heads, sm_scale=1.0 / dh ** 0.5,
+                                  impl=self.attn_impl,
+                                  interpret=self.attn_interpret)
         x = x + dense(c.dim, "attn_proj")(ctx)
 
         # MLP (pre-LN).

@@ -272,6 +272,211 @@ def _flash_bwd_rule(sm_scale, block_q, block_k, interpret, residuals, g):
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# qkv-packed single-shot attention (short sequences)
+# ---------------------------------------------------------------------------
+#
+# The ViT blocks produce attention inputs as ONE fused qkv matmul of shape
+# (B, S, 3*H*Dh) whose column order is the natural reshape (S, 3, H, Dh):
+# column index = ((j*H + h)*Dh + d) for j in {q,k,v}. The XLA path must then
+# reshape+transpose to (3, B, H, S, Dh) and transpose the context back —
+# five HBM round-trips of data movement per block that profile as ~13% of
+# the flagship train step (hlo_stats: vit.py qkv transposes + fp32 score
+# layout copies). This kernel consumes the packed tensor DIRECTLY: per-head
+# q/k/v are static 128-aligned column slices, the whole (short) sequence is
+# resident in VMEM, softmax is single-shot (no online rescaling needed), and
+# the context is written back in head-concatenated column order (B, S, H*Dh)
+# — exactly the layout the output projection consumes. The backward kernel
+# produces d_qkv in the SAME packed layout, so the fused qkv matmul's
+# transpose consumes it without data movement either.
+
+def _qkv_fwd_kernel(qkv_ref, mask_ref, o_ref, *, n_heads: int, head_dim: int,
+                    sm_scale: float):
+    h_count, d = n_heads, head_dim
+    mrow = mask_ref[0, 0]                                   # (Sk,)
+    for h in range(h_count):                                # static unroll
+        q = qkv_ref[0, :, (0 * h_count + h) * d:(0 * h_count + h + 1) * d]
+        k = qkv_ref[0, :, (1 * h_count + h) * d:(1 * h_count + h + 1) * d]
+        v = qkv_ref[0, :, (2 * h_count + h) * d:(2 * h_count + h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # (Sq, Sk) fp32
+        s = jnp.where(mrow[None, :] > 0, s, _MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / jnp.maximum(l, 1e-30)).astype(v.dtype)
+        o_ref[0, :, h * d:(h + 1) * d] = jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _qkv_bwd_kernel(qkv_ref, mask_ref, do_ref, dqkv_ref, *, n_heads: int,
+                    head_dim: int, sm_scale: float):
+    """Recompute-softmax backward, d_qkv emitted in packed column layout."""
+    h_count, d = n_heads, head_dim
+    mrow = mask_ref[0, 0]
+    for h in range(h_count):
+        q = qkv_ref[0, :, (0 * h_count + h) * d:(0 * h_count + h + 1) * d]
+        k = qkv_ref[0, :, (1 * h_count + h) * d:(1 * h_count + h + 1) * d]
+        v = qkv_ref[0, :, (2 * h_count + h) * d:(2 * h_count + h + 1) * d]
+        do = do_ref[0, :, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(mrow[None, :] > 0, s, _MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.maximum(l, 1e-30)                       # (Sq, Sk) fp32
+
+        pt = p.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            pt, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (Sk, d)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (Sq, Sk)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        dqkv_ref[0, :, (0 * h_count + h) * d:(0 * h_count + h + 1) * d] = (
+            dq.astype(dqkv_ref.dtype))
+        dqkv_ref[0, :, (1 * h_count + h) * d:(1 * h_count + h + 1) * d] = (
+            dk.astype(dqkv_ref.dtype))
+        dqkv_ref[0, :, (2 * h_count + h) * d:(2 * h_count + h + 1) * d] = (
+            dv.astype(dqkv_ref.dtype))
+
+
+def _qkv_pad(qkv, key_valid):
+    """Pad sequence to a Mosaic-friendly multiple of 8; padded keys are
+    masked out via key_valid (padded query rows are sliced away by callers)."""
+    b, s, _ = qkv.shape
+    s_p = _round_up(s, 8)
+    if key_valid is None:
+        key_valid = jnp.ones((b, s), dtype=jnp.float32)
+    else:
+        key_valid = key_valid.astype(jnp.float32)
+    if s_p != s:
+        qkv = jnp.pad(qkv, ((0, 0), (0, s_p - s), (0, 0)))
+        key_valid = jnp.pad(key_valid, ((0, 0), (0, s_p - s)))
+    return qkv, key_valid[:, None, :], s_p
+
+
+def _qkv_attention_forward(qkv, key_valid, n_heads, sm_scale, interpret):
+    b, s, three_hd = qkv.shape
+    d = three_hd // (3 * n_heads)
+    qkv_p, mask_p, s_p = _qkv_pad(qkv, key_valid)
+    kernel = functools.partial(_qkv_fwd_kernel, n_heads=n_heads, head_dim=d,
+                               sm_scale=sm_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s_p, three_hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_p, n_heads * d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_p, n_heads * d), qkv.dtype),
+        interpret=interpret,
+    )(qkv_p, mask_p)
+    return out[:, :s, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def qkv_packed_attention(qkv: jax.Array, key_valid: Optional[jax.Array],
+                         n_heads: int, sm_scale: float,
+                         interpret: bool = False) -> jax.Array:
+    """Fused attention on a packed qkv tensor.
+
+    Args:
+      qkv: (B, S, 3*H*Dh) — fused qkv projection output, column order of
+        ``reshape(B, S, 3, H, Dh)``.
+      key_valid: optional (B, S) mask; 0 = masked key.
+    Returns:
+      (B, S, H*Dh) context, head-concatenated (the output-projection layout).
+    """
+    return _qkv_attention_forward(qkv, key_valid, n_heads, sm_scale,
+                                  interpret)
+
+
+def _qkv_attn_fwd_rule(qkv, key_valid, n_heads, sm_scale, interpret):
+    out = _qkv_attention_forward(qkv, key_valid, n_heads, sm_scale, interpret)
+    return out, (qkv, key_valid)
+
+
+def _qkv_attn_bwd_rule(n_heads, sm_scale, interpret, residuals, g):
+    qkv, key_valid = residuals
+    b, s, three_hd = qkv.shape
+    d = three_hd // (3 * n_heads)
+    qkv_p, mask_p, s_p = _qkv_pad(qkv, key_valid)
+    g_p = jnp.pad(g, ((0, 0), (0, s_p - s), (0, 0))) if s_p != s else g
+    kernel = functools.partial(_qkv_bwd_kernel, n_heads=n_heads, head_dim=d,
+                               sm_scale=sm_scale)
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s_p, three_hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_p, n_heads * d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_p, three_hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_p, three_hd), qkv.dtype),
+        interpret=interpret,
+    )(qkv_p, mask_p, g_p)
+    return dqkv[:, :s, :], None
+
+
+qkv_packed_attention.defvjp(_qkv_attn_fwd_rule, _qkv_attn_bwd_rule)
+
+
+def fused_qkv_attention(qkv: jax.Array, n_heads: int,
+                        key_valid: Optional[jax.Array] = None,
+                        sm_scale: Optional[float] = None,
+                        impl: str = "xla",
+                        interpret: bool = False) -> jax.Array:
+    """Attention over a packed (B, S, 3*H*Dh) qkv tensor.
+
+    ``impl='pallas_qkv'`` runs :func:`qkv_packed_attention` (no layout
+    changes at all). Other impls unpack to (B, H, S, Dh) and dispatch to
+    :func:`multi_head_attention`, reproducing the canonical XLA math
+    bit-for-bit (the parity-bound path).
+    """
+    b, s, three_hd = qkv.shape
+    d = three_hd // (3 * n_heads)
+    scale = float(sm_scale) if sm_scale is not None else float(1.0 / d ** 0.5)
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        # Measured IN-MODEL on v5e (b256 flagship train step, fwd+bwd+AdamW):
+        # MAE decoder (S=197, H=2, Dh=128): packed kernel 45.8 vs XLA 47.7
+        # ms/step — the XLA path's five layout changes + fp32 score copies
+        # dominate at full sequence length. ViT encoder visible pass (S=51,
+        # H=3): XLA wins by ~4 ms/step — at tiny sequences XLA fuses the
+        # layout changes into adjacent matmuls and the kernel's per-program
+        # work is too small. Policy: packed kernel for longer sequences
+        # only; whole-sequence-in-VMEM design caps it at 1024.
+        impl = "pallas_qkv" if (on_tpu and 128 <= s <= 1024) else "xla"
+    if impl == "pallas_qkv":
+        return qkv_packed_attention(qkv, key_valid, n_heads, scale, interpret)
+    x = qkv.reshape(b, s, 3, n_heads, d).transpose(2, 0, 3, 1, 4)
+    ctx = multi_head_attention(x[0], x[1], x[2], key_valid=key_valid,
+                               sm_scale=scale, impl=impl, interpret=interpret)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, s, n_heads * d)
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
@@ -293,7 +498,9 @@ def multi_head_attention(
     """
     d = q.shape[-1]
     scale = float(sm_scale) if sm_scale is not None else float(1.0 / d ** 0.5)
-    if impl == "auto":
+    if impl in ("auto", "pallas_qkv"):
+        # "pallas_qkv" needs the packed (B, S, 3*H*Dh) layout; callers with
+        # separate q/k/v (the HF-structured text tower) resolve it like auto.
         import jax as _jax
         on_tpu = _jax.default_backend() == "tpu"
         impl = ("pallas" if (on_tpu and 256 <= k.shape[2] <= 1024)

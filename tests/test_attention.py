@@ -69,3 +69,50 @@ def test_flash_gradients_match_xla():
     for a, b in zip(g_xla, g_flash):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
                                    rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# qkv-packed single-shot attention (fused_qkv_attention / qkv_packed_attention)
+# ---------------------------------------------------------------------------
+
+from mae_clip_tpu.ops.attention import fused_qkv_attention  # noqa: E402
+
+
+@pytest.mark.parametrize("b,s,h,d", [(2, 13, 2, 16), (3, 40, 2, 32),
+                                     (2, 16, 6, 8)])
+@pytest.mark.parametrize("masked", [False, True])
+def test_qkv_packed_matches_xla(b, s, h, d, masked):
+    """Packed-kernel values AND gradients == canonical unpack+XLA path.
+
+    The packed layout is the fused qkv matmul output: columns ordered as
+    reshape(B, S, 3, H, Dh). Sequence lengths deliberately not multiples
+    of 8 to exercise the pad+mask path."""
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(b, s, 3 * h * d)).astype(np.float32))
+    key_valid = None
+    if masked:
+        key_valid = jnp.asarray(
+            (rng.random((b, s)) > 0.25).astype(np.float32))
+
+    def run(impl):
+        def loss(x):
+            o = fused_qkv_attention(x, h, key_valid=key_valid, impl=impl,
+                                    interpret=True)
+            return jnp.sum(jnp.sin(o)), o
+        (l, o), g = jax.value_and_grad(loss, has_aux=True)(qkv)
+        return np.asarray(o), np.asarray(g)
+
+    o_ref, g_ref = run("xla")
+    o_pk, g_pk = run("pallas_qkv")
+    np.testing.assert_allclose(o_pk, o_ref, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(g_pk, g_ref, atol=2e-4, rtol=1e-3)
+
+
+def test_qkv_packed_auto_resolves_xla_off_tpu():
+    """'auto' (and multi_head's 'pallas_qkv' alias) must run on CPU: they
+    fall back to the XLA path when no TPU backend is present."""
+    rng = np.random.default_rng(8)
+    qkv = jnp.asarray(rng.normal(size=(2, 9, 3 * 2 * 8)).astype(np.float32))
+    out_auto = fused_qkv_attention(qkv, 2, impl="auto")
+    out_xla = fused_qkv_attention(qkv, 2, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_xla))
