@@ -39,7 +39,8 @@ class CaptionDataset:
                  max_length: int = 200,
                  fixed_length: Optional[int] = None,
                  raw_uint8: bool = False,
-                 patchify_size: Optional[int] = None):
+                 patchify_size: Optional[int] = None,
+                 native: str = "auto"):
         assert len(image_filenames) == len(captions)
         self.image_filenames = list(image_filenames)
         self.captions = [str(c) for c in captions]
@@ -49,6 +50,13 @@ class CaptionDataset:
         # ViT fast path: ship pre-patchified uint8 (B, N, P*P*C); the
         # device never touches minor-dim-3 layouts (see models.vit).
         self.patchify_size = patchify_size
+        # Native C++ fused decode->resize->patchify (native/imagepipe.cpp)
+        # for the raw_uint8+patchify path. "auto": use when built; "never":
+        # python/cv2 path (bit-reproducible vs cv2 fixed-point rounding);
+        # "always": error if the .so is missing.
+        if native not in ("auto", "never", "always"):
+            raise ValueError(f"unknown native mode {native!r}")
+        self.native = native
         enc = tokenizer.encode_batch(self.captions, max_length=max_length,
                                      fixed_length=fixed_length)
         self.input_ids = np.asarray(enc["input_ids"], dtype=np.int32)
@@ -58,9 +66,33 @@ class CaptionDataset:
     def __len__(self) -> int:
         return len(self.captions)
 
+    def _native_enabled(self) -> bool:
+        if self.native == "never" or not (self.raw_uint8
+                                          and self.patchify_size):
+            return False
+        from mae_clip_tpu.data import native_images
+        ok = native_images.native_available()
+        if self.native == "always" and not ok:
+            raise RuntimeError("native='always' but native/libimagepipe.so "
+                               "is not built (make -C native)")
+        return ok
+
     def load_image(self, idx: int) -> np.ndarray:
         path = (f"{self.image_path}/{self.image_filenames[idx]}"
                 if self.image_path else self.image_filenames[idx])
+        if self._native_enabled():
+            from mae_clip_tpu.data import native_images
+            try:
+                with open(path, "rb") as f:
+                    out = native_images.jpeg_to_patches(
+                        f.read(), self.size, self.patchify_size)
+            except OSError:
+                out = None
+            if out is None:  # non-JPEG or unreadable: decode in python
+                out = native_images.rgb_to_patches(
+                    decode_image(path), self.size, self.patchify_size)
+            if out is not None:
+                return out
         img = decode_image(path)
         if self.raw_uint8:
             # Device-side normalize path: ship compact uint8.
