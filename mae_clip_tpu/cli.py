@@ -297,6 +297,29 @@ def cmd_serve(args) -> None:
     server.serve_forever()
 
 
+def cmd_data_coco(args) -> None:
+    """COCO captions JSON -> (image, caption) CSV.
+
+    The reference ships this as a standalone argparse CLI whose result is
+    discarded (reference: coco_captions_to_df.py:32-39, the --output write
+    is commented out); here --out actually writes a captions.csv usable by
+    the train subcommand and the Flickr-style loaders."""
+    from mae_clip_tpu.data.coco import coco_captions_records
+
+    records = coco_captions_records(args.json)
+    if args.limit:
+        records = records[:args.limit]
+    if args.out:
+        import csv
+        with open(args.out, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["image", "caption"])
+            w.writerows(records)
+    print(json.dumps({"rows": len(records),
+                      "images": len({r[0] for r in records}),
+                      "out": args.out or None}))
+
+
 def cmd_build_vocab(args) -> None:
     from mae_clip_tpu.data.tokenizer import build_vocab, save_vocab
 
@@ -376,6 +399,16 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("out")
     p.add_argument("--vocab-size", type=int, default=8192)
     p.set_defaults(fn=cmd_build_vocab)
+
+    p = sub.add_parser("data-coco",
+                       help="COCO captions JSON -> (image, caption) CSV "
+                            "(reference coco_captions_to_df.py CLI)")
+    p.add_argument("json", help="COCO captions annotation JSON")
+    p.add_argument("--out", help="write captions.csv here")
+    p.add_argument("--limit", type=int, default=0,
+                   help="keep first N rows (reference test fixture "
+                        "semantics, coco_captions_to_df.py:28-30)")
+    p.set_defaults(fn=cmd_data_coco)
 
     args = parser.parse_args(argv)
     args.fn(args)
