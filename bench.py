@@ -31,6 +31,7 @@ SEQ = int(os.environ.get("BENCH_SEQ", "64"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 ATTN = os.environ.get("BENCH_ATTN", "")  # empty = shape-aware auto
+DECODER_STYLE = os.environ.get("BENCH_DECODER_STYLE", "")  # empty = preset
 
 
 def main() -> None:
@@ -46,6 +47,11 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = flagship_tpu_config(batch_size=BATCH)
+    if DECODER_STYLE:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, mae=dataclasses.replace(cfg.mae,
+                                         decoder_style=DECODER_STYLE))
     text_cfg = DistilBertConfig()
     attn = ATTN or "auto"
     model = CLIPModel(cfg, text_config=text_cfg, attn_impl=attn)

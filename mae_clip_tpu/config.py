@@ -44,6 +44,12 @@ class MAEConfig:
     # the decoder runs the full 197-token sequence at few heads, a distinct
     # perf regime from the towers. "xla" | "pallas" | "pallas_qkv" | "auto".
     decoder_attn_impl: Optional[str] = None
+    # "full": MAE-paper decoder (self-attention over the scatter-restored
+    # full sequence, arXiv:2111.06377). "cross": CrossMAE — decode only the
+    # masked positions with cross-attention to the encoded visible tokens
+    # (arXiv:2401.14391; comparable reconstruction quality, ~25% fewer
+    # decoder tokens, no scatter, linear instead of quadratic attention).
+    decoder_style: str = "full"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,6 +156,9 @@ class Config:
             raise ValueError(f"unknown model_name {self.model_name!r}")
         if not 0.0 <= self.mae.mask_ratio < 1.0:
             raise ValueError("mask_ratio must be in [0, 1)")
+        if self.mae.decoder_style not in ("full", "cross"):
+            raise ValueError(
+                f"unknown decoder_style {self.mae.decoder_style!r}")
 
     @property
     def image_feature_dim(self) -> int:

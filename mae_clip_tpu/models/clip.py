@@ -97,6 +97,7 @@ class CLIPModel(nn.Module):
                 self.image_encoder = MAEViT(
                     vcfg, decoder=dec, mask_ratio=cfg.mae.mask_ratio,
                     decoder_attn_impl=cfg.mae.decoder_attn_impl,
+                    decoder_style=cfg.mae.decoder_style,
                     remat=cfg.remat, **attn, **common)
             else:
                 self.image_encoder = ViTEncoder(vcfg, remat=cfg.remat,

@@ -32,6 +32,7 @@ from flax import linen as nn
 from mae_clip_tpu.models.layers import Dense, LayerNorm
 from mae_clip_tpu.models.vit import (PatchEmbed, ViTBlock, ViTConfig,
                                      patchify, sincos_pos_embed_2d)
+from mae_clip_tpu.ops.attention import multi_head_attention
 from mae_clip_tpu.ops.masking import (random_masking,
                                       scatter_with_mask_tokens)
 
@@ -50,6 +51,59 @@ class MAEOutput(NamedTuple):
     pred_patches: jax.Array  # (B, N, P*P*C) reconstructed pixels
     target_patches: jax.Array
     mask: jax.Array          # (B, N); 1 = masked
+    # With decoder_style='cross' the three tensors above cover ONLY the
+    # masked positions ((B, N-K, .) / mask all-ones): the loss
+    # sum(mse*mask)/sum(mask) is identical either way.
+
+
+class CrossAttnBlock(nn.Module):
+    """Pre-LN transformer block whose attention is CROSS-attention: queries
+    are the (masked-position) decoder tokens, keys/values the encoded
+    visible tokens. No self-attention among queries — the CrossMAE finding
+    (arXiv:2401.14391) that masked-token interdependence is unnecessary for
+    MAE reconstruction quality; each query runs in O(Sk) instead of O(Sq)."""
+
+    config: ViTConfig
+    attn_impl: str = "xla"
+    attn_interpret: bool = False
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_tokens: jax.Array, kv_tokens: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        from mae_clip_tpu.models.layers import Dropout
+        from mae_clip_tpu.models.vit import gelu_exact
+
+        c = self.config
+        b, sq, _ = q_tokens.shape
+        sk = kv_tokens.shape[1]
+        dh = c.dim // c.n_heads
+        ln = lambda name: LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                    param_dtype=self.param_dtype, name=name)
+        dense = lambda feats, name: Dense(feats, dtype=self.dtype,
+                                          param_dtype=self.param_dtype,
+                                          name=name)
+        h = ln("norm1")(q_tokens)
+        kvh = ln("norm_kv")(kv_tokens)
+        q = dense(c.dim, "attn_q")(h)
+        kv = dense(2 * c.dim, "attn_kv")(kvh)
+        q = q.reshape(b, sq, c.n_heads, dh).transpose(0, 2, 1, 3)
+        kv = kv.reshape(b, sk, 2, c.n_heads, dh).transpose(2, 0, 3, 1, 4)
+        ctx = multi_head_attention(q, kv[0], kv[1], sm_scale=1.0 / dh ** 0.5,
+                                   impl=("xla" if self.attn_impl ==
+                                         "pallas_qkv" else self.attn_impl),
+                                   interpret=self.attn_interpret)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sq, c.dim)
+        x = q_tokens + dense(c.dim, "attn_proj")(ctx)
+
+        h = ln("norm2")(x)
+        h = dense(int(c.dim * c.mlp_ratio), "mlp_fc1")(h)
+        h = (gelu_exact(h) if c.gelu == "erf"
+             else jax.nn.gelu(h, approximate=True))
+        h = dense(c.dim, "mlp_fc2")(h)
+        h = Dropout(c.dropout, name="mlp_drop")(h, deterministic)
+        return x + h
 
 
 class MAEViT(nn.Module):
@@ -64,6 +118,12 @@ class MAEViT(nn.Module):
     # bound) encoder: the decoder runs the full 197-token sequence at few
     # heads, a shape where kernel choice matters most. None = inherit.
     decoder_attn_impl: Optional[str] = None
+    # "full": MAE-paper decoder — self-attention over ALL positions after
+    # scattering mask tokens (arXiv:2111.06377). "cross": CrossMAE-style —
+    # decode ONLY masked positions, each cross-attending the encoded visible
+    # tokens (arXiv:2401.14391); fewer decoder tokens, no scatter, no
+    # quadratic self-attention.
+    decoder_style: str = "full"
     attn_interpret: bool = False
     use_pallas_patch_embed: bool = False
     remat: bool = False
@@ -98,8 +158,13 @@ class MAEViT(nn.Module):
                             mlp_ratio=d.mlp_ratio, gelu=d.gelu)
         dec_attn = dict(attn, attn_impl=(self.decoder_attn_impl
                                          or self.attn_impl))
+        if self.decoder_style not in ("full", "cross"):
+            raise ValueError(f"unknown decoder_style {self.decoder_style!r}")
+        dec_block = (ViTBlock if self.decoder_style == "full"
+                     else CrossAttnBlock)
         self.decoder_blocks = [
-            ViTBlock(dec_cfg, **dec_attn, **common, name=f"decoder_block_{i}")
+            dec_block(dec_cfg, **dec_attn, **common,
+                      name=f"decoder_block_{i}")
             for i in range(d.depth)]
         self.decoder_norm = LayerNorm(epsilon=1e-6, **common)
         patch_dim = c.patch_size * c.patch_size * self.channels
@@ -154,11 +219,33 @@ class MAEViT(nn.Module):
         # --- decoder ---
         d = self.decoder
         y = self.decoder_embed(encoded)
+        dec_pe = jnp.asarray(
+            sincos_pos_embed_2d(d.dim, c.grid_size, cls_token=True))[None]
+
+        if self.decoder_style == "cross":
+            # CrossMAE: queries = mask tokens at the MASKED positions only;
+            # keys/values = the decoder-embedded visible tokens (+CLS). No
+            # scatter, no full-length sequence, no quadratic self-attention.
+            pe_vis = jnp.take(dec_pe[0, 1:], masking.ids_keep, axis=0)
+            kv = y + jnp.concatenate(
+                [jnp.broadcast_to(dec_pe[:, :1], (b, 1, d.dim)), pe_vis],
+                axis=1).astype(y.dtype)
+            pe_masked = jnp.take(dec_pe[0, 1:], masking.ids_masked, axis=0)
+            q = (jnp.broadcast_to(self.mask_token,
+                                  (b, masking.ids_masked.shape[1], d.dim))
+                 + pe_masked).astype(y.dtype)
+            for block in self.decoder_blocks:
+                q = block(q, kv, deterministic)
+            pred = self.decoder_pred(self.decoder_norm(q))   # (B, N-K, PPC)
+            target_masked = jnp.take_along_axis(
+                target, masking.ids_masked[:, :, None], axis=1)
+            ones = jnp.ones(masking.ids_masked.shape, dtype=jnp.float32)
+            return MAEOutput(pooled=pooled, pred_patches=pred,
+                             target_patches=target_masked, mask=ones)
+
         y_patches = scatter_with_mask_tokens(y[:, 1:], self.mask_token,
                                              masking.ids_restore)
         y = jnp.concatenate([y[:, :1], y_patches], axis=1)   # re-attach CLS
-        dec_pe = jnp.asarray(
-            sincos_pos_embed_2d(d.dim, c.grid_size, cls_token=True))[None]
         y = y + dec_pe.astype(y.dtype)
         for block in self.decoder_blocks:
             y = block(y, deterministic)

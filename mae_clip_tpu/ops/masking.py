@@ -23,6 +23,7 @@ class MaskingResult(NamedTuple):
     ids_keep: jax.Array     # (B, len_keep) indices of visible patches
     ids_restore: jax.Array  # (B, N) inverse permutation
     mask: jax.Array         # (B, N) float; 1 = masked (to reconstruct)
+    ids_masked: jax.Array   # (B, N - len_keep) indices of masked patches
 
 
 def random_masking(rng: jax.Array, batch: int, num_patches: int,
@@ -35,7 +36,8 @@ def random_masking(rng: jax.Array, batch: int, num_patches: int,
     mask = jnp.ones((batch, num_patches))
     mask = mask.at[:, :len_keep].set(0.0)
     mask = jnp.take_along_axis(mask, ids_restore, axis=1)
-    return MaskingResult(ids_keep, ids_restore, mask)
+    return MaskingResult(ids_keep, ids_restore, mask,
+                         ids_shuffle[:, len_keep:])
 
 
 def gather_patches(x: jax.Array, ids: jax.Array) -> jax.Array:

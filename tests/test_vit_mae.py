@@ -171,3 +171,115 @@ def test_prepatchified_input_matches_image_input():
                                np.asarray(ob.pred_patches), atol=1e-6)
     np.testing.assert_allclose(np.asarray(oa.target_patches),
                                np.asarray(ob.target_patches), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# CrossMAE decoder style (decoder_style='cross', arXiv:2401.14391)
+# ---------------------------------------------------------------------------
+
+def test_masking_ids_masked_partition():
+    """ids_keep + ids_masked partition [0, N) and agree with the mask."""
+    res = random_masking(jax.random.PRNGKey(3), batch=3, num_patches=16,
+                         mask_ratio=0.75)
+    keep, masked = np.asarray(res.ids_keep), np.asarray(res.ids_masked)
+    mask = np.asarray(res.mask)
+    assert masked.shape == (3, 12)
+    for b in range(3):
+        assert sorted([*keep[b], *masked[b]]) == list(range(16))
+        assert np.all(mask[b, masked[b]] == 1)
+
+
+def test_cross_decoder_shapes_and_shared_encoder():
+    """'cross' decodes only masked positions; the CLIP pooled feature is
+    bit-identical to 'full' (the visible encoder pass is shared and the
+    decoder style only changes what happens after)."""
+    dec = MAEDecoderConfig(dim=16, depth=1, n_heads=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 32, 32, 3)).astype(np.float32))
+    full = MAEViT(TINY, decoder=dec, mask_ratio=0.75, decoder_style="full")
+    variables = full.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+    cross = MAEViT(TINY, decoder=dec, mask_ratio=0.75, decoder_style="cross")
+    cvars = cross.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+
+    out_f = full.apply(variables, x, jax.random.PRNGKey(1))
+    out_c = cross.apply(cvars, x, jax.random.PRNGKey(1))
+    assert out_c.pred_patches.shape == (2, 12, 8 * 8 * 3)   # masked only
+    assert out_c.target_patches.shape == (2, 12, 8 * 8 * 3)
+    assert np.all(np.asarray(out_c.mask) == 1.0)
+    # Shared encoder: pooled CLS identical across styles for the same rng
+    # (encoder params are initialized identically; decoder params differ).
+    np.testing.assert_allclose(np.asarray(out_f.pooled),
+                               np.asarray(out_c.pooled), atol=1e-6)
+
+    # Cross targets are exactly the masked rows of the full-style targets.
+    from mae_clip_tpu.ops.masking import random_masking as rm
+    masking = rm(jax.random.PRNGKey(1), 2, 16, 0.75)
+    want = np.take_along_axis(np.asarray(out_f.target_patches),
+                              np.asarray(masking.ids_masked)[:, :, None],
+                              axis=1)
+    np.testing.assert_allclose(np.asarray(out_c.target_patches), want,
+                               atol=0)
+
+
+def test_cross_decoder_grads_flow():
+    from mae_clip_tpu.ops.losses import mae_reconstruction_loss
+
+    model = MAEViT(TINY, decoder=MAEDecoderConfig(dim=16, depth=1, n_heads=4),
+                   decoder_style="cross")
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, x, jax.random.PRNGKey(1))
+        return mae_reconstruction_loss(out.pred_patches, out.target_patches,
+                                       out.mask)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    g_pe = grads["patch_embed"]["proj"]["kernel"]
+    assert float(jnp.linalg.norm(g_pe)) > 0          # shared tower trains
+    assert float(jnp.linalg.norm(grads["mask_token"])) > 0
+    g_kv = grads["decoder_block_0"]["attn_kv"]["kernel"]
+    assert float(jnp.linalg.norm(g_kv)) > 0
+
+
+def test_cross_decoder_in_clip_train_step():
+    """Joint CLIP+MAE train step runs with decoder_style='cross' and the
+    loss decreases on a fixed batch."""
+    import dataclasses
+    from mae_clip_tpu.config import MAEConfig, flagship_tpu_config
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    from mae_clip_tpu.models.vit import ViTConfig
+    from mae_clip_tpu.train.loop import make_train_step
+    from mae_clip_tpu.train.optim import make_optimizer
+    from mae_clip_tpu.train.state import TrainState
+
+    cfg = flagship_tpu_config(
+        batch_size=4, size=32, max_length=8, compute_dtype="float32",
+        mae=MAEConfig(enabled=True, mask_ratio=0.75, decoder_dim=16,
+                      decoder_depth=1, decoder_heads=2,
+                      decoder_style="cross"))
+    tc = DistilBertConfig(vocab_size=64, dim=32, n_layers=1, n_heads=4,
+                          hidden_dim=64, max_position_embeddings=16)
+    vc = ViTConfig(image_size=32, patch_size=8, dim=32, depth=1, n_heads=4,
+                   pos_embed="sincos")
+    model = CLIPModel(cfg, text_config=tc, vit_config=vc, attn_impl="xla")
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 64, size=(4, 8)).astype(np.int32)),
+        "attention_mask": jnp.ones((4, 8), jnp.int32),
+        "valid": jnp.ones((4,), bool),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch,
+                           mask_rng=jax.random.PRNGKey(1))
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, cfg)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
