@@ -10,11 +10,12 @@ __version__ = "0.1.0"
 
 from mae_clip_tpu.config import (Config, MAEConfig, MeshConfig,
                                  coco_full_config, flagship_tpu_config,
-                                 large_batch_mesh_config, notebook_config,
+                                 large_batch_mesh_config,
+                                 mae_pretrain_config, notebook_config,
                                  reference_py_config)
 
 __all__ = [
     "Config", "MAEConfig", "MeshConfig",
     "reference_py_config", "notebook_config", "flagship_tpu_config",
-    "coco_full_config", "large_batch_mesh_config",
+    "coco_full_config", "large_batch_mesh_config", "mae_pretrain_config",
 ]

@@ -122,6 +122,16 @@ def cmd_train(args) -> None:
         lambda r, b: model.init(r, b, mask_rng=jax.random.PRNGKey(1))
     )(jax.random.PRNGKey(cfg.seed), example)
 
+    if getattr(args, "init_from_mae", None):
+        from mae_clip_tpu.interop.transfer import load_mae_encoder_into_clip
+        from mae_clip_tpu.train.checkpoint import load_variables
+        mae_vars = load_variables(args.init_from_mae, cfg)
+        new_params, transferred, skipped = load_mae_encoder_into_clip(
+            variables["params"], mae_vars["params"])
+        variables = dict(variables, params=new_params)
+        print(f"init-from-mae: {len(transferred)} tensors transferred, "
+              f"{len(skipped)} skipped")
+
     mngr = CheckpointManager(cfg.checkpoints)
     writer = MetricWriter(cfg.logdir)
     trainer = Trainer(cfg, model, variables["params"],
@@ -335,6 +345,82 @@ def cmd_build_vocab(args) -> None:
     print(json.dumps({"vocab_size": len(vocab), "out": args.out}))
 
 
+def cmd_mae_pretrain(args) -> None:
+    """Image-only MAE pretraining (He et al., arXiv:2111.06377) — the
+    capability the reference repo names ('Training CLIP with MAE',
+    reference README.md:2) but never ships. The pretrained encoder
+    transfers into a CLIP run via ``train --init-from-mae <run_dir>``."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from mae_clip_tpu.data.pipeline import ImageDataset, make_image_loader
+    from mae_clip_tpu.models.clip import mae_vit_for
+    from mae_clip_tpu.parallel.mesh import (maybe_initialize_distributed,
+                                            mesh_from_config)
+    from mae_clip_tpu.train.checkpoint import CheckpointManager
+    from mae_clip_tpu.train.loop import Trainer
+    from mae_clip_tpu.train.metrics import MetricWriter
+
+    maybe_initialize_distributed()
+    cfg = _load_config(args)
+    if not cfg.mae.enabled:
+        cfg = cfg.replace(mae=dataclasses.replace(cfg.mae, enabled=True))
+    if not cfg.model_name.startswith("vit"):
+        cfg = cfg.replace(model_name="vit_s16", image_embedding=384)
+    cfg.validate()
+
+    attn = {"always": "pallas", "never": "xla", "auto": "auto"}[cfg.use_pallas]
+    model = mae_vit_for(cfg, attn_impl=attn)
+    patch = model.config.patch_size
+
+    dataset = ImageDataset.from_directory(
+        args.images, size=cfg.size, raw_uint8=True, patchify_size=patch)
+    # Seeded holdout split for the best-val checkpoint policy.
+    n = len(dataset)
+    order = np.random.default_rng(cfg.seed).permutation(n)
+    n_val = max(1, int(n * args.val_fraction)) if n > 1 else 0
+    files = np.asarray(dataset.image_filenames)
+    mk = lambda idx: ImageDataset(files[idx].tolist(), size=cfg.size,
+                                  raw_uint8=True, patchify_size=patch)
+    train_ds = mk(order[n_val:]) if n_val else dataset
+    valid_ds = mk(order[:n_val]) if n_val else dataset
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = mesh_from_config(cfg.mesh)
+
+    example = next(make_image_loader(train_ds, cfg.batch_size,
+                                     num_threads=1))
+    init_img = np.zeros(example["image"].shape, np.float32)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, jax.random.PRNGKey(1))
+    )(jax.random.PRNGKey(cfg.seed), init_img)
+
+    mngr = CheckpointManager(cfg.checkpoints)
+    writer = MetricWriter(cfg.logdir)
+    trainer = Trainer(cfg, model, variables["params"], mesh=mesh,
+                      checkpoint_manager=mngr, writer=writer, progress=True,
+                      objective="mae")
+
+    epoch_seed = [cfg.seed]
+
+    def train_loader():
+        epoch_seed[0] += 1
+        return make_image_loader(train_ds, cfg.batch_size, shuffle=True,
+                                 seed=epoch_seed[0])
+
+    def valid_loader():
+        return make_image_loader(valid_ds, cfg.batch_size)
+
+    history = trainer.fit(train_loader, valid_loader)
+    mngr.wait()
+    print(json.dumps({"final_train_loss": history["train_loss"][-1],
+                      "final_valid_loss": history["valid_loss"][-1],
+                      "best_valid_loss": trainer.best_loss}))
+
+
 # ---------------------------------------------------------------------------
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -348,7 +434,19 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--captions-dir")
     p.add_argument("--eval-retrieval", action="store_true",
                    help="compute recall@K on the validation split per epoch")
+    p.add_argument("--init-from-mae",
+                   help="initialize the image tower from a mae-pretrain "
+                        "run directory (MAE-paper transfer recipe)")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("mae-pretrain",
+                       help="image-only MAE pretraining (masked "
+                            "reconstruction, no captions)")
+    _add_config_args(p)
+    p.add_argument("--images", required=True,
+                   help="directory tree of images")
+    p.add_argument("--val-fraction", type=float, default=0.05)
+    p.set_defaults(fn=cmd_mae_pretrain)
 
     p = sub.add_parser("retrieve", help="text->image retrieval")
     _add_config_args(p)

@@ -250,6 +250,27 @@ def flagship_tpu_config(**kw: Any) -> Config:
     return base.replace(**kw)
 
 
+def mae_pretrain_config(**kw: Any) -> Config:
+    """Image-only MAE pretraining recipe (He et al., arXiv:2111.06377):
+    masked reconstruction, no text tower. Base hyperparams follow the MAE
+    paper's pretraining defaults (blr 1.5e-4, wd 0.05) at this family's
+    flagship tower geometry; transfer the encoder into a CLIP run with
+    ``cli train --init-from-mae`` (interop.transfer)."""
+    base = Config(
+        recipe="py",
+        model_name="vit_s16",
+        image_embedding=384,
+        batch_size=1024,
+        compute_dtype="bfloat16",
+        mae=MAEConfig(enabled=True),
+        lr=1.5e-4,
+        weight_decay=0.05,
+        gelu_impl="tanh",
+        image_heads=3,
+    )
+    return base.replace(**kw)
+
+
 def coco_full_config(**kw: Any) -> Config:
     """COCO-captions full training run (BASELINE.json config 3): the
     reference ``.py`` recipe at TPU-appropriate batch, COCO adapters."""

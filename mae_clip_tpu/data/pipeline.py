@@ -30,20 +30,19 @@ from mae_clip_tpu.data.images import decode_image, host_preprocess
 from mae_clip_tpu.data.tokenizer import WordPieceTokenizer
 
 
-class CaptionDataset:
-    """(image file, caption) records with whole-dataset tokenization."""
+class ImageFileSource:
+    """Image files -> decoded/resized (optionally patchified uint8) arrays.
+
+    The image half of the input pipeline, shared by the caption dataset and
+    the image-only MAE-pretraining dataset.
+    """
 
     def __init__(self, image_filenames: Sequence[str],
-                 captions: Sequence[str], tokenizer: WordPieceTokenizer,
                  image_path: str = "", size: int = 224,
-                 max_length: int = 200,
-                 fixed_length: Optional[int] = None,
                  raw_uint8: bool = False,
                  patchify_size: Optional[int] = None,
                  native: str = "auto"):
-        assert len(image_filenames) == len(captions)
         self.image_filenames = list(image_filenames)
-        self.captions = [str(c) for c in captions]
         self.image_path = image_path
         self.size = size
         self.raw_uint8 = raw_uint8
@@ -57,14 +56,9 @@ class CaptionDataset:
         if native not in ("auto", "never", "always"):
             raise ValueError(f"unknown native mode {native!r}")
         self.native = native
-        enc = tokenizer.encode_batch(self.captions, max_length=max_length,
-                                     fixed_length=fixed_length)
-        self.input_ids = np.asarray(enc["input_ids"], dtype=np.int32)
-        self.attention_mask = np.asarray(enc["attention_mask"],
-                                         dtype=np.int32)
 
     def __len__(self) -> int:
-        return len(self.captions)
+        return len(self.image_filenames)
 
     def _native_enabled(self) -> bool:
         if self.native == "never" or not (self.raw_uint8
@@ -108,6 +102,52 @@ class CaptionDataset:
             from mae_clip_tpu.data.images import patchify_host
             return patchify_host(out, self.patchify_size)
         return out
+
+
+class ImageDataset(ImageFileSource):
+    """Images only — the MAE-pretraining input (no captions, no tokenizer).
+
+    ``from_directory`` globs common image extensions under a directory tree
+    (sorted for cross-host determinism).
+    """
+
+    @classmethod
+    def from_directory(cls, root: str, **kw) -> "ImageDataset":
+        import os
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        files = sorted(
+            os.path.join(dirpath, f)
+            for dirpath, _, names in os.walk(root)
+            for f in names if f.lower().endswith(exts))
+        if not files:
+            raise FileNotFoundError(f"no images under {root!r}")
+        return cls(files, **kw)
+
+
+class CaptionDataset(ImageFileSource):
+    """(image file, caption) records with whole-dataset tokenization."""
+
+    def __init__(self, image_filenames: Sequence[str],
+                 captions: Sequence[str], tokenizer: WordPieceTokenizer,
+                 image_path: str = "", size: int = 224,
+                 max_length: int = 200,
+                 fixed_length: Optional[int] = None,
+                 raw_uint8: bool = False,
+                 patchify_size: Optional[int] = None,
+                 native: str = "auto"):
+        assert len(image_filenames) == len(captions)
+        super().__init__(image_filenames, image_path=image_path, size=size,
+                         raw_uint8=raw_uint8, patchify_size=patchify_size,
+                         native=native)
+        self.captions = [str(c) for c in captions]
+        enc = tokenizer.encode_batch(self.captions, max_length=max_length,
+                                     fixed_length=fixed_length)
+        self.input_ids = np.asarray(enc["input_ids"], dtype=np.int32)
+        self.attention_mask = np.asarray(enc["attention_mask"],
+                                         dtype=np.int32)
+
+    def __len__(self) -> int:
+        return len(self.captions)
 
 
 def make_loader(dataset: CaptionDataset, batch_size: int,
@@ -165,6 +205,11 @@ def make_loader(dataset: CaptionDataset, batch_size: int,
         return {"image": imgs, "input_ids": ids, "attention_mask": mask,
                 "valid": valid}
 
+    yield from _prefetched(build_batch, num_batches, num_threads, prefetch)
+
+
+def _prefetched(build_batch, num_batches: int, num_threads: int,
+                prefetch: int) -> Iterator[Dict[str, np.ndarray]]:
     if num_threads <= 1 or num_batches <= 1:
         for bi in range(num_batches):
             yield build_batch(bi)
@@ -183,3 +228,43 @@ def make_loader(dataset: CaptionDataset, batch_size: int,
                 inflight.append(pool.submit(build_batch, next_bi))
                 next_bi += 1
             yield fut.result()
+
+
+def make_image_loader(dataset: ImageFileSource, batch_size: int,
+                      shuffle: bool = False, seed: int = 0,
+                      drop_last: bool = False, num_threads: int = 8,
+                      prefetch: int = 2,
+                      images: Optional[np.ndarray] = None,
+                      host_id: int = 0, num_hosts: int = 1
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+    """Image-only loader for MAE pretraining: yields static-shape
+    {image, valid} batches with the same padded-ragged-tail, seeded-shuffle,
+    and multi-host slicing semantics as ``make_loader``."""
+    if batch_size % num_hosts != 0:
+        raise ValueError(f"global batch {batch_size} not divisible by "
+                         f"num_hosts {num_hosts}")
+    local_bs = batch_size // num_hosts
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+
+    num_batches = n // batch_size if drop_last else -(-n // batch_size)
+
+    def build_batch(bi: int) -> Dict[str, np.ndarray]:
+        idx_global = order[bi * batch_size:(bi + 1) * batch_size]
+        idx = idx_global[host_id * local_bs:(host_id + 1) * local_bs]
+        count = len(idx)
+        pad = local_bs - count
+        if images is not None:
+            imgs = images[idx]
+        else:
+            imgs = np.stack([dataset.load_image(i) for i in idx])
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        valid = np.zeros((local_bs,), dtype=bool)
+        valid[:count] = True
+        return {"image": imgs, "valid": valid}
+
+    yield from _prefetched(build_batch, num_batches, num_threads, prefetch)

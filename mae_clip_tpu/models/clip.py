@@ -47,6 +47,41 @@ def vit_config_for(cfg: Config) -> ViTConfig:
     return dataclasses.replace(base, image_size=cfg.size, pos_embed=pos)
 
 
+def _resolved_vit_config(cfg: Config,
+                         vit_config: Optional[ViTConfig]) -> ViTConfig:
+    """Apply cfg's gelu/head-geometry overrides to the ViT tower config
+    (explicitly-passed custom geometry keeps its own head count)."""
+    vcfg = vit_config if vit_config is not None else vit_config_for(cfg)
+    if cfg.gelu_impl is not None:
+        vcfg = dataclasses.replace(vcfg, gelu=cfg.gelu_impl)
+    if (vit_config is None and cfg.image_heads is not None
+            and vcfg.dim % cfg.image_heads == 0):
+        vcfg = dataclasses.replace(vcfg, n_heads=cfg.image_heads)
+    return vcfg
+
+
+def mae_vit_for(cfg: Config, vit_config: Optional[ViTConfig] = None,
+                attn_impl: str = "xla",
+                attn_interpret: bool = False) -> MAEViT:
+    """Standalone MAEViT with the SAME geometry and parameter tree as the
+    image tower ``CLIPModel`` embeds when ``cfg.mae.enabled`` — so params
+    from image-only MAE pretraining transfer one-to-one into a CLIP model's
+    ``image_encoder`` scope (see ``interop.transfer``)."""
+    if not cfg.mae.enabled:
+        raise ValueError("mae_vit_for requires cfg.mae.enabled")
+    vcfg = _resolved_vit_config(cfg, vit_config)
+    dec = MAEDecoderConfig(dim=cfg.mae.decoder_dim,
+                           depth=cfg.mae.decoder_depth,
+                           n_heads=cfg.mae.decoder_heads,
+                           gelu=cfg.mae.decoder_gelu)
+    return MAEViT(vcfg, decoder=dec, mask_ratio=cfg.mae.mask_ratio,
+                  decoder_attn_impl=cfg.mae.decoder_attn_impl,
+                  decoder_style=cfg.mae.decoder_style, remat=cfg.remat,
+                  attn_impl=attn_impl, attn_interpret=attn_interpret,
+                  dtype=_dtype_of(cfg.compute_dtype),
+                  param_dtype=_dtype_of(cfg.param_dtype))
+
+
 class CLIPModel(nn.Module):
     """``__call__(batch)`` returns a dict with embeddings and losses."""
 
@@ -82,23 +117,9 @@ class CLIPModel(nn.Module):
                 raise ValueError("MAE requires a ViT image tower")
             self.image_encoder = resnet50(**common)
         else:
-            vcfg = (self.vit_config if self.vit_config is not None
-                    else vit_config_for(cfg))
-            if cfg.gelu_impl is not None:
-                vcfg = dataclasses.replace(vcfg, gelu=cfg.gelu_impl)
-            if (self.vit_config is None and cfg.image_heads is not None
-                    and vcfg.dim % cfg.image_heads == 0):
-                vcfg = dataclasses.replace(vcfg, n_heads=cfg.image_heads)
+            vcfg = _resolved_vit_config(cfg, self.vit_config)
             if cfg.mae.enabled:
-                dec = MAEDecoderConfig(dim=cfg.mae.decoder_dim,
-                                       depth=cfg.mae.decoder_depth,
-                                       n_heads=cfg.mae.decoder_heads,
-                                       gelu=cfg.mae.decoder_gelu)
-                self.image_encoder = MAEViT(
-                    vcfg, decoder=dec, mask_ratio=cfg.mae.mask_ratio,
-                    decoder_attn_impl=cfg.mae.decoder_attn_impl,
-                    decoder_style=cfg.mae.decoder_style,
-                    remat=cfg.remat, **attn, **common)
+                self.image_encoder = mae_vit_for(cfg, vcfg, **attn)
             else:
                 self.image_encoder = ViTEncoder(vcfg, remat=cfg.remat,
                                                 **attn, **common)

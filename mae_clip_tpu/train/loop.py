@@ -177,6 +177,15 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
                          else state.batch_stats))
         return new_state, metrics
 
+    metrics_proto = {"loss": 0, "clip_loss": 0,
+                     **({"mae_loss": 0} if cfg.mae.enabled else {})}
+    return _compile_step(step_fn, cfg, mesh, metrics_proto)
+
+
+def _compile_step(step_fn, cfg: Config, mesh: Optional[Mesh],
+                  metrics_proto: Dict[str, Any]):
+    """jit a (state, batch) -> (state, metrics) step, with data-axis batch
+    sharding + donated, rule-sharded state when a mesh is given."""
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -203,8 +212,6 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         # build the jitted executable once and reuse it (re-wrapping in
         # jax.jit per call would recompile every step).
         if "fn" not in cache:
-            metrics_proto = {"loss": 0, "clip_loss": 0,
-                             **({"mae_loss": 0} if cfg.mae.enabled else {})}
             cache["fn"] = jax.jit(
                 step_fn,
                 in_shardings=(state_shardings(state),
@@ -216,6 +223,67 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         return cache["fn"](state, batch)
 
     return jitted
+
+
+def _mae_images_and_forward(model, params, batch, rng, train: bool):
+    """Shared forward for the image-only MAE objective."""
+    images = batch["image"]
+    if images.dtype == jnp.uint8:
+        from mae_clip_tpu.data.images import normalize_uint8
+        images = normalize_uint8(images)
+    rngs = {"dropout": jax.random.fold_in(rng, 1)} if train else {}
+    out = model.apply({"params": params}, images,
+                      jax.random.fold_in(rng, 2), not train, rngs=rngs)
+    weight = out.mask
+    if "valid" in batch:
+        # Padded ragged-tail rows (pipeline.make_image_loader) get zero
+        # weight: the loss mean counts only valid examples' masked patches.
+        weight = weight * batch["valid"][:, None].astype(weight.dtype)
+    loss = losses_lib.mae_reconstruction_loss(out.pred_patches,
+                                              out.target_patches, weight)
+    return loss
+
+
+def make_mae_pretrain_step(model, tx, cfg: Config,
+                           mesh: Optional[Mesh] = None):
+    """Image-only MAE pretraining step (He et al., arXiv:2111.06377):
+    masked-pixel reconstruction loss only — no text tower, no contrastive
+    term. The capability the reference names but never ships (its only
+    trace is the commented-out ViT tower, reference modules.py:20-26).
+    ``model`` is a standalone ``MAEViT`` (build via ``models.clip.
+    mae_vit_for`` so params later transfer into a CLIP image tower).
+    """
+
+    def step_fn(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_for(params):
+            loss = _mae_images_and_forward(model, params, batch, rng, True)
+            return loss, {"loss": loss, "mae_loss": loss}
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_for, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state)
+        return new_state, metrics
+
+    return _compile_step(step_fn, cfg, mesh, {"loss": 0, "mae_loss": 0})
+
+
+def make_mae_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
+    """Eval twin: deterministic (no dropout), same masking-rng convention."""
+
+    def step_fn(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        loss = _mae_images_and_forward(model, state.params, batch, rng,
+                                       False)
+        return {"loss": loss, "mae_loss": loss}
+
+    return jax.jit(step_fn)
 
 
 def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
@@ -243,15 +311,26 @@ class Trainer:
                  batch_stats=None, mesh: Optional[Mesh] = None,
                  checkpoint_manager=None,
                  writer: Optional[MetricWriter] = None,
-                 progress: bool = False):
+                 progress: bool = False,
+                 objective: str = "clip"):
+        # objective: "clip" = contrastive (+joint MAE when cfg.mae.enabled;
+        # model is a CLIPModel). "mae" = image-only MAE pretraining (model
+        # is a standalone MAEViT; batches need only {image, valid}).
+        if objective not in ("clip", "mae"):
+            raise ValueError(f"unknown objective {objective!r}")
         self.cfg = cfg
         self.model = model
         self.mesh = mesh
         self.tx = tx if tx is not None else make_optimizer(cfg, params)
         rng = jax.random.PRNGKey(cfg.seed)
         self.state = TrainState.create(params, self.tx, rng, batch_stats)
-        self.train_step = make_train_step(model, self.tx, cfg, mesh)
-        self.eval_step = make_eval_step(model, cfg, mesh)
+        if objective == "mae":
+            self.train_step = make_mae_pretrain_step(model, self.tx, cfg,
+                                                     mesh)
+            self.eval_step = make_mae_eval_step(model, cfg, mesh)
+        else:
+            self.train_step = make_train_step(model, self.tx, cfg, mesh)
+            self.eval_step = make_eval_step(model, cfg, mesh)
         self.scheduler = ReduceLROnPlateau(cfg.patience, cfg.factor)
         self.checkpoint_manager = checkpoint_manager
         self.writer = writer

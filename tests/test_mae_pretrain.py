@@ -1,0 +1,233 @@
+"""Standalone MAE pretraining: image-only objective, loader, transfer.
+
+The reference names MAE but never ships it (SURVEY.md; the only trace is
+the commented-out ViT tower, reference modules.py:20-26). This framework
+makes the MAE-paper workflow (arXiv:2111.06377) first-class: image-only
+pretraining (``train.loop.make_mae_pretrain_step``) followed by encoder
+transfer into a CLIP tower (``interop.transfer``).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mae_clip_tpu.config import MAEConfig, mae_pretrain_config
+from mae_clip_tpu.models.clip import CLIPModel, mae_vit_for
+from mae_clip_tpu.models.vit import ViTConfig
+from mae_clip_tpu.train.loop import (Trainer, make_mae_eval_step,
+                                     make_mae_pretrain_step)
+from mae_clip_tpu.train.optim import make_optimizer
+from mae_clip_tpu.train.state import TrainState
+
+TINY_VIT = ViTConfig(image_size=32, patch_size=8, dim=32, depth=1,
+                     n_heads=4, pos_embed="sincos")
+
+
+def tiny_cfg(**kw):
+    return mae_pretrain_config(
+        batch_size=4, size=32, compute_dtype="float32", gelu_impl=None,
+        image_heads=None,
+        mae=MAEConfig(enabled=True, mask_ratio=0.75, decoder_dim=16,
+                      decoder_depth=1, decoder_heads=2), **kw)
+
+
+def make_model_and_state(cfg):
+    model = mae_vit_for(cfg, vit_config=TINY_VIT)
+    imgs = jnp.zeros((cfg.batch_size, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs,
+                           jax.random.PRNGKey(1))
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    return model, tx, state
+
+
+def test_pretrain_step_loss_decreases():
+    cfg = tiny_cfg()
+    model, tx, state = make_model_and_state(cfg)
+    step = make_mae_pretrain_step(model, tx, cfg)
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.asarray(
+        rng.normal(size=(4, 32, 32, 3)).astype(np.float32)),
+        "valid": jnp.ones((4,), bool)}
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert metrics["mae_loss"] == metrics["loss"]
+
+
+def test_pad_rows_do_not_affect_loss_or_grads():
+    """Invalid (ragged-tail pad) rows must contribute nothing."""
+    cfg = tiny_cfg()
+    model, tx, state = make_model_and_state(cfg)
+    eval_step = make_mae_eval_step(model, cfg)
+    rng = np.random.default_rng(1)
+    imgs = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    valid = np.array([True, True, True, False])
+    base = {"image": jnp.asarray(imgs), "valid": jnp.asarray(valid)}
+    poked = np.array(imgs)
+    poked[3] += 100.0
+    other = {"image": jnp.asarray(poked), "valid": jnp.asarray(valid)}
+    l1 = float(eval_step(state, base)["loss"])
+    l2 = float(eval_step(state, other)["loss"])
+    assert l1 == l2
+
+    step = make_mae_pretrain_step(model, tx, cfg)
+    s1, m1 = step(state, base)
+    # Rebuild state (donated) and step on the poked batch: same loss.
+    _, _, state2 = make_model_and_state(cfg)
+    s2, m2 = step(state2, other)
+    assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_transfer_into_joint_clip_tower():
+    """MAE-enabled CLIP tower: every pretrained leaf transfers (decoder
+    included) and the tower params become bit-identical."""
+    from mae_clip_tpu.interop.transfer import load_mae_encoder_into_clip
+
+    cfg = tiny_cfg()
+    model, _, state = make_model_and_state(cfg)
+
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    clip = CLIPModel(cfg, text_config=DistilBertConfig(
+        vocab_size=64, dim=32, n_layers=1, n_heads=4, hidden_dim=64,
+        max_position_embeddings=16), vit_config=TINY_VIT)
+    batch = {"image": jnp.zeros((2, 32, 32, 3), jnp.float32),
+             "input_ids": jnp.zeros((2, 8), jnp.int32),
+             "attention_mask": jnp.ones((2, 8), jnp.int32)}
+    cvars = clip.init(jax.random.PRNGKey(3), batch,
+                      mask_rng=jax.random.PRNGKey(4))
+
+    new_params, transferred, skipped = load_mae_encoder_into_clip(
+        cvars["params"], state.params)
+    assert skipped == []
+    flat_src = jax.tree_util.tree_leaves(state.params)
+    flat_dst = jax.tree_util.tree_leaves(new_params["image_encoder"])
+    assert len(transferred) == len(flat_src) == len(flat_dst)
+    for a, b in zip(flat_src, flat_dst):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Untouched scopes keep their init values.
+    t0 = jax.tree_util.tree_leaves(cvars["params"]["text_encoder"])
+    t1 = jax.tree_util.tree_leaves(new_params["text_encoder"])
+    np.testing.assert_array_equal(np.asarray(t0[0]), np.asarray(t1[0]))
+
+
+def test_transfer_into_plain_vit_tower_skips_decoder():
+    """MAE-disabled CLIP tower (ViTEncoder): encoder leaves transfer,
+    decoder leaves report as skipped."""
+    from mae_clip_tpu.interop.transfer import load_mae_encoder_into_clip
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+
+    cfg = tiny_cfg()
+    _, _, state = make_model_and_state(cfg)
+
+    clip_cfg = cfg.replace(mae=MAEConfig(enabled=False))
+    clip = CLIPModel(clip_cfg, text_config=DistilBertConfig(
+        vocab_size=64, dim=32, n_layers=1, n_heads=4, hidden_dim=64,
+        max_position_embeddings=16), vit_config=TINY_VIT)
+    batch = {"image": jnp.zeros((2, 32, 32, 3), jnp.float32),
+             "input_ids": jnp.zeros((2, 8), jnp.int32),
+             "attention_mask": jnp.ones((2, 8), jnp.int32)}
+    cvars = clip.init(jax.random.PRNGKey(3), batch)
+
+    new_params, transferred, skipped = load_mae_encoder_into_clip(
+        cvars["params"], state.params)
+    assert any(p.startswith("patch_embed") for p in transferred)
+    assert any(p.startswith("block_0") for p in transferred)
+    assert "cls_token" in transferred and "norm/scale" in transferred
+    assert all(p.split("/")[0].startswith(("decoder", "mask_token"))
+               for p in skipped)
+    np.testing.assert_array_equal(
+        np.asarray(new_params["image_encoder"]["cls_token"]),
+        np.asarray(state.params["cls_token"]))
+
+
+def test_trainer_objective_mae_fit(tmp_path):
+    cfg = tiny_cfg(epochs=2)
+    model, tx, state = make_model_and_state(cfg)
+    trainer = Trainer(cfg, model, state.params, tx=tx, objective="mae")
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(10, 32, 32, 3)).astype(np.float32)
+
+    from mae_clip_tpu.data.pipeline import ImageDataset, make_image_loader
+    ds = ImageDataset([f"{i}.png" for i in range(10)], size=32)
+
+    def loader(epoch=0):
+        return make_image_loader(ds, cfg.batch_size, shuffle=True,
+                                 seed=epoch, images=images, num_threads=1)
+
+    history = trainer.fit(loader, lambda: loader(), epochs=2)
+    assert len(history["train_loss"]) == 2
+    assert np.isfinite(history["train_loss"]).all()
+    assert np.isfinite(history["valid_loss"]).all()
+
+
+def test_image_dataset_and_loader(tmp_path):
+    import cv2
+    rng = np.random.default_rng(3)
+    for i in range(5):
+        img = rng.integers(0, 255, size=(20, 24, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f"img_{i}.png"), img)
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    from mae_clip_tpu.data.pipeline import ImageDataset, make_image_loader
+    ds = ImageDataset.from_directory(str(tmp_path), size=16)
+    assert len(ds) == 5
+    assert ds.image_filenames == sorted(ds.image_filenames)
+
+    batches = list(make_image_loader(ds, batch_size=2, num_threads=1))
+    assert len(batches) == 3
+    for b in batches:
+        assert b["image"].shape == (2, 16, 16, 3)
+        assert b["image"].dtype == np.float32
+    assert batches[-1]["valid"].tolist() == [True, False]
+    assert np.all(batches[-1]["image"][1] == 0)
+
+    # Pre-patchified uint8 path (the ViT fast path).
+    ds8 = ImageDataset.from_directory(str(tmp_path), size=16, raw_uint8=True,
+                                      patchify_size=8)
+    b = next(make_image_loader(ds8, batch_size=5, num_threads=1))
+    assert b["image"].shape == (5, 4, 8 * 8 * 3)
+    assert b["image"].dtype == np.uint8
+
+
+def test_cli_mae_pretrain_and_transfer(tmp_path):
+    """End-to-end: mae-pretrain CLI run -> train --init-from-mae ingests
+    its checkpoint."""
+    import cv2
+
+    from mae_clip_tpu import cli
+
+    rng = np.random.default_rng(4)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(6):
+        cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                    rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8))
+
+    run_dir = tmp_path / "run"
+    cli.main([
+        "mae-pretrain", "--images", str(img_dir),
+        "--val-fraction", "0.34",
+        "--set", "batch_size=8", "--set", "epochs=1", "--set", "size=32",
+        "--set", "compute_dtype=float32", "--set", "gelu_impl=null",
+        "--set", "image_heads=null",
+        "--set", "mae.decoder_dim=16", "--set", "mae.decoder_depth=1",
+        "--set", "mae.decoder_heads=2",
+        "--set", f"checkpoints={run_dir}",
+        "--set", f"logdir={tmp_path / 'logs'}",
+    ])
+    assert any(d.name.isdigit() for d in run_dir.iterdir())
+
+    from mae_clip_tpu.train.checkpoint import load_variables
+    from mae_clip_tpu.config import mae_pretrain_config
+    cfg = mae_pretrain_config(batch_size=8, size=32,
+                              compute_dtype="float32")
+    restored = load_variables(str(run_dir), cfg)
+    assert "patch_embed" in restored["params"]
+    assert "decoder_pred" in restored["params"]
