@@ -35,6 +35,15 @@ def _load_config(args) -> Config:
     return cfg
 
 
+def _with_computed_decay_steps(cfg: Config, n_train: int) -> Config:
+    """cosine schedule with decay_steps unset: total steps = epochs x
+    ceil(n_train / batch)."""
+    if cfg.lr_schedule == "cosine" and not cfg.decay_steps:
+        steps_per_epoch = -(-n_train // cfg.batch_size)
+        cfg = cfg.replace(decay_steps=cfg.epochs * steps_per_epoch)
+    return cfg
+
+
 def _build_model(cfg: Config, vocab_size: Optional[int] = None):
     from mae_clip_tpu.models.clip import CLIPModel
     from mae_clip_tpu.models.distilbert import DistilBertConfig
@@ -104,6 +113,7 @@ def cmd_train(args) -> None:
                               patchify_size=16 if vit_fast else None)
 
     train_ds, valid_ds = make_ds(train_df), make_ds(valid_df)
+    cfg = _with_computed_decay_steps(cfg, len(train_ds))
 
     mesh = None
     if len(jax.devices()) > 1:
@@ -386,6 +396,7 @@ def cmd_mae_pretrain(args) -> None:
                                   raw_uint8=True, patchify_size=patch)
     train_ds = mk(order[n_val:]) if n_val else dataset
     valid_ds = mk(order[:n_val]) if n_val else dataset
+    cfg = _with_computed_decay_steps(cfg, len(train_ds))
 
     mesh = None
     if len(jax.devices()) > 1:
@@ -409,7 +420,7 @@ def cmd_mae_pretrain(args) -> None:
     def train_loader():
         epoch_seed[0] += 1
         return make_image_loader(train_ds, cfg.batch_size, shuffle=True,
-                                 seed=epoch_seed[0])
+                                 seed=epoch_seed[0], augment=args.augment)
 
     def valid_loader():
         return make_image_loader(valid_ds, cfg.batch_size)
@@ -446,6 +457,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--images", required=True,
                    help="directory tree of images")
     p.add_argument("--val-fraction", type=float, default=0.05)
+    p.add_argument("--augment", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="RandomResizedCrop+flip (MAE-paper augmentation)")
     p.set_defaults(fn=cmd_mae_pretrain)
 
     p = sub.add_parser("retrieve", help="text->image retrieval")

@@ -111,6 +111,16 @@ class Config:
     image_encoder_lr: float = 1e-4
     text_encoder_lr: float = 1e-5
     scheduler_step: str = "epoch"    # "epoch" | "batch" | "none"
+    # Step-wise base-LR schedule, composed with the plateau scale above.
+    # "constant" is the reference's effective behavior; "cosine" = linear
+    # warmup over warmup_steps then cosine decay to 0 at decay_steps TOTAL
+    # steps (MAE-paper pretraining schedule, arXiv:2111.06377 §A.1). The
+    # schedule runs inside the jitted update (optimizer count) — no host
+    # sync. decay_steps=0 + cosine => the CLI computes epochs x
+    # steps-per-epoch; library users must set it explicitly.
+    lr_schedule: str = "constant"    # "constant" | "cosine"
+    warmup_steps: int = 0
+    decay_steps: int = 0
 
     # --- TPU-native fields ---
     # Tower GELU override: None keeps each tower's parity-exact erf GELU
@@ -159,6 +169,8 @@ class Config:
         if self.mae.decoder_style not in ("full", "cross"):
             raise ValueError(
                 f"unknown decoder_style {self.mae.decoder_style!r}")
+        if self.lr_schedule not in ("constant", "cosine"):
+            raise ValueError(f"unknown lr_schedule {self.lr_schedule!r}")
 
     @property
     def image_feature_dim(self) -> int:
@@ -255,7 +267,10 @@ def mae_pretrain_config(**kw: Any) -> Config:
     masked reconstruction, no text tower. Base hyperparams follow the MAE
     paper's pretraining defaults (blr 1.5e-4, wd 0.05) at this family's
     flagship tower geometry; transfer the encoder into a CLIP run with
-    ``cli train --init-from-mae`` (interop.transfer)."""
+    ``cli train --init-from-mae`` (interop.transfer). For the paper's full
+    schedule add ``lr_schedule='cosine'`` + ``warmup_steps`` (the CLI
+    computes ``decay_steps`` from epochs when unset); the default stays
+    ``constant`` so the preset is usable without a known step count."""
     base = Config(
         recipe="py",
         model_name="vit_s16",

@@ -76,6 +76,53 @@ def normalize_uint8(images, compute_dtype=None):
     return out
 
 
+def random_resized_crop_flip(image: np.ndarray, size: int,
+                             rng: np.random.Generator,
+                             scale=(0.2, 1.0), ratio=(3 / 4, 4 / 3),
+                             hflip: float = 0.5) -> np.ndarray:
+    """torchvision-style RandomResizedCrop + horizontal flip on a decoded
+    HWC image (any dtype), returning (size, size, C) of the same dtype.
+
+    The MAE pretraining augmentation (arXiv:2111.06377 §A.1 uses
+    RandomResizedCrop scale (0.2, 1.0) + flip). The reference trains CLIP
+    with NO augmentation at all (train == valid transforms, reference
+    dataset.py:44-58), so this is used only by the image-only pretraining
+    loader — never by the parity CLIP path.
+
+    Sampling mirrors torchvision.transforms.RandomResizedCrop: 10 tries of
+    (area, log-uniform ratio), then center-crop fallback.
+    """
+    import cv2
+
+    h, w = image.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        log_r = rng.uniform(np.log(ratio[0]), np.log(ratio[1]))
+        r = float(np.exp(log_r))
+        cw = int(round(np.sqrt(target_area * r)))
+        ch = int(round(np.sqrt(target_area / r)))
+        if 0 < cw <= w and 0 < ch <= h:
+            i = int(rng.integers(0, h - ch + 1))
+            j = int(rng.integers(0, w - cw + 1))
+            break
+    else:
+        # Fallback: largest center crop within the ratio bounds.
+        in_ratio = w / h
+        if in_ratio < ratio[0]:
+            cw, ch = w, min(h, int(round(w / ratio[0])))
+        elif in_ratio > ratio[1]:
+            ch, cw = h, min(w, int(round(h * ratio[1])))
+        else:
+            cw, ch = w, h
+        i, j = (h - ch) // 2, (w - cw) // 2
+    crop = image[i:i + ch, j:j + cw]
+    out = cv2.resize(crop, (size, size), interpolation=cv2.INTER_LINEAR)
+    if hflip and rng.uniform() < hflip:
+        out = out[:, ::-1]
+    return np.ascontiguousarray(out)
+
+
 def patchify_host(image: np.ndarray, patch_size: int) -> np.ndarray:
     """Host-side patchify: (H, W, C) -> (N, P*P*C), row-major patch order
     (same layout as models.vit.patchify). Shipping patches instead of NHWC

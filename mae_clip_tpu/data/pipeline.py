@@ -71,9 +71,28 @@ class ImageFileSource:
                                "is not built (make -C native)")
         return ok
 
-    def load_image(self, idx: int) -> np.ndarray:
+    def load_image(self, idx: int,
+                   aug_rng: Optional[np.random.Generator] = None
+                   ) -> np.ndarray:
         path = (f"{self.image_path}/{self.image_filenames[idx]}"
                 if self.image_path else self.image_filenames[idx])
+        if aug_rng is not None:
+            # Augmented (MAE-pretraining) path: RandomResizedCrop + flip
+            # replaces the plain resize. Bypasses the native fused kernel
+            # (its resize geometry is fixed); decode stays cv2.
+            from mae_clip_tpu.data.images import random_resized_crop_flip
+            img = random_resized_crop_flip(decode_image(path), self.size,
+                                           aug_rng)
+            if self.raw_uint8:
+                if self.patchify_size:
+                    from mae_clip_tpu.data.images import patchify_host
+                    return patchify_host(img, self.patchify_size)
+                return img
+            out = host_preprocess(img, self.size)
+            if self.patchify_size:
+                from mae_clip_tpu.data.images import patchify_host
+                return patchify_host(out, self.patchify_size)
+            return out
         if self._native_enabled():
             from mae_clip_tpu.data import native_images
             try:
@@ -235,11 +254,16 @@ def make_image_loader(dataset: ImageFileSource, batch_size: int,
                       drop_last: bool = False, num_threads: int = 8,
                       prefetch: int = 2,
                       images: Optional[np.ndarray] = None,
-                      host_id: int = 0, num_hosts: int = 1
+                      host_id: int = 0, num_hosts: int = 1,
+                      augment: bool = False
                       ) -> Iterator[Dict[str, np.ndarray]]:
     """Image-only loader for MAE pretraining: yields static-shape
     {image, valid} batches with the same padded-ragged-tail, seeded-shuffle,
-    and multi-host slicing semantics as ``make_loader``."""
+    and multi-host slicing semantics as ``make_loader``.
+
+    ``augment=True`` applies RandomResizedCrop+flip per image (the MAE
+    pretraining augmentation); deterministic in (seed, image index), so
+    vary ``seed`` per epoch for fresh crops."""
     if batch_size % num_hosts != 0:
         raise ValueError(f"global batch {batch_size} not divisible by "
                          f"num_hosts {num_hosts}")
@@ -259,7 +283,11 @@ def make_image_loader(dataset: ImageFileSource, batch_size: int,
         if images is not None:
             imgs = images[idx]
         else:
-            imgs = np.stack([dataset.load_image(i) for i in idx])
+            imgs = np.stack([
+                dataset.load_image(
+                    i, np.random.default_rng([seed, int(i)])
+                    if augment else None)
+                for i in idx])
         if pad:
             imgs = np.concatenate(
                 [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])

@@ -390,7 +390,8 @@ class Trainer:
             self.throughput.update(count)
             if self.progress and hasattr(bar, "set_postfix"):
                 bar.set_postfix(train_loss=meter.avg,
-                                lr=current_lr(self.cfg, self.state.opt_state))
+                                lr=current_lr(self.cfg, self.state.opt_state,
+                                              int(self.state.step)))
         return meter
 
     def valid_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
@@ -476,7 +477,8 @@ class Trainer:
             scalars = {
                 "loss/train": train_meter.avg,
                 "loss/val": valid_meter.avg,
-                "lr": current_lr(cfg, self.state.opt_state),
+                "lr": current_lr(cfg, self.state.opt_state,
+                                 int(self.state.step)),
                 "throughput/examples_per_sec_per_chip":
                     self.throughput.examples_per_sec_per_chip,
             }

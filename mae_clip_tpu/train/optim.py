@@ -65,7 +65,31 @@ def _label_tree(params: Any, label_fn: Callable[[str], str]) -> Any:
         lambda p, _: label_fn(_path_str(p)), params)
 
 
-def _adamw(lr: float, wd: float) -> optax.GradientTransformation:
+def base_lr_schedule(cfg: Config, peak_lr: float):
+    """Step-wise LR schedule for ``cfg.lr_schedule``.
+
+    * ``constant`` — the reference's effective behavior (its plateau
+      scheduler never steps in the .py recipe; see module docstring).
+    * ``cosine`` — linear warmup over ``cfg.warmup_steps`` then cosine decay
+      to 0 at ``cfg.decay_steps`` TOTAL steps (the MAE-paper pretraining
+      schedule, arXiv:2111.06377 §A.1; also standard for from-scratch CLIP).
+      Runs inside the jitted update (optimizer count), no host sync.
+    """
+    if cfg.lr_schedule == "constant":
+        return peak_lr
+    if cfg.lr_schedule == "cosine":
+        if not cfg.decay_steps:
+            raise ValueError("lr_schedule='cosine' needs decay_steps > 0 "
+                             "(total train steps; the CLI computes it from "
+                             "epochs x steps-per-epoch when unset)")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=peak_lr,
+            warmup_steps=cfg.warmup_steps, decay_steps=cfg.decay_steps,
+            end_value=0.0)
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
+def _adamw(lr, wd: float) -> optax.GradientTransformation:
     # torch AdamW defaults: betas=(0.9, 0.999), eps=1e-8.
     return optax.adamw(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
                        weight_decay=wd)
@@ -81,18 +105,19 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
             return "frozen" if not cfg.trainable else "image"
         return "head"
 
+    sched = lambda peak: base_lr_schedule(cfg, peak)
     if cfg.recipe == "py":
         transforms = {
-            "head": _adamw(cfg.lr, cfg.weight_decay),
-            "image": _adamw(cfg.lr, cfg.weight_decay),
-            "text": _adamw(cfg.lr, cfg.weight_decay),
+            "head": _adamw(sched(cfg.lr), cfg.weight_decay),
+            "image": _adamw(sched(cfg.lr), cfg.weight_decay),
+            "text": _adamw(sched(cfg.lr), cfg.weight_decay),
             "frozen": optax.set_to_zero(),
         }
     elif cfg.recipe == "notebook":
         transforms = {
-            "head": _adamw(cfg.head_lr, cfg.weight_decay),
-            "image": _adamw(cfg.image_encoder_lr, 0.0),
-            "text": _adamw(cfg.text_encoder_lr, 0.0),
+            "head": _adamw(sched(cfg.head_lr), cfg.weight_decay),
+            "image": _adamw(sched(cfg.image_encoder_lr), 0.0),
+            "text": _adamw(sched(cfg.text_encoder_lr), 0.0),
             "frozen": optax.set_to_zero(),
         }
     else:
@@ -129,9 +154,14 @@ def set_lr_scale(opt_state, scale: float):
     return tuple(new if j == i else st for j, st in enumerate(opt_state))
 
 
-def current_lr(cfg: Config, opt_state) -> float:
-    """First param-group LR, mirroring reference utils.py:18-20 (get_lr)."""
-    base = cfg.lr if cfg.recipe == "py" else cfg.head_lr
+def current_lr(cfg: Config, opt_state, step: Optional[int] = None) -> float:
+    """First param-group LR, mirroring reference utils.py:18-20 (get_lr).
+    With a step-wise schedule, pass ``step`` (TrainState.step) to evaluate
+    the schedule host-side."""
+    peak = cfg.lr if cfg.recipe == "py" else cfg.head_lr
+    base = base_lr_schedule(cfg, peak)
+    if callable(base):
+        base = float(base(0 if step is None else step))
     return base * get_lr_scale(opt_state)
 
 

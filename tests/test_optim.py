@@ -126,3 +126,51 @@ def test_plateau_state_roundtrip():
     s2 = ReduceLROnPlateau(patience=1, factor=0.1)
     s2.load_state_dict(d)
     assert s2.step(6.0) == s.step(6.0)
+
+
+def test_cosine_schedule_warmup_and_decay():
+    """lr_schedule='cosine': linear warmup then cosine decay to 0, applied
+    inside the jitted update via the optimizer count (MAE-paper schedule)."""
+    from mae_clip_tpu.train.optim import base_lr_schedule, current_lr
+
+    cfg = Config(recipe="py", lr=1e-3, lr_schedule="cosine",
+                 warmup_steps=4, decay_steps=10, text_trainable=True)
+    sched = base_lr_schedule(cfg, cfg.lr)
+    # Warmup: 0 -> peak linearly over warmup_steps.
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(2)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(4)), 1e-3, rtol=1e-6)
+    # Cosine midpoint between warmup end (4) and decay_steps (10).
+    np.testing.assert_allclose(float(sched(7)), 5e-4, rtol=1e-6)
+    assert float(sched(10)) < 1e-9
+
+    params = _fake_clip_params()
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    # First update happens at count 0 => lr 0 => zero update everywhere.
+    updates, opt_state = tx.update(grads, opt_state, params)
+    assert all(float(jnp.abs(u).max()) == 0.0
+               for u in jax.tree_util.tree_leaves(updates))
+    # Subsequent updates are non-zero and track the schedule direction.
+    updates, opt_state = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(
+        updates["image_projection"]["projection"]["kernel"]).max()) > 0
+
+    # current_lr evaluates the schedule host-side, composed with the
+    # plateau scale.
+    assert current_lr(cfg, opt_state, step=0) == 0.0
+    np.testing.assert_allclose(current_lr(cfg, opt_state, step=4), 1e-3,
+                               rtol=1e-6)
+    half = set_lr_scale(opt_state, 0.5)
+    np.testing.assert_allclose(current_lr(cfg, half, step=4), 5e-4,
+                               rtol=1e-6)
+
+
+def test_cosine_schedule_requires_decay_steps():
+    import pytest
+    cfg = Config(lr_schedule="cosine")
+    with pytest.raises(ValueError, match="decay_steps"):
+        make_optimizer(cfg, _fake_clip_params())
+    with pytest.raises(ValueError, match="lr_schedule"):
+        Config(lr_schedule="nope").validate()
