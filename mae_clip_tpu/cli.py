@@ -209,11 +209,21 @@ def cmd_eval(args) -> None:
     from mae_clip_tpu.train.checkpoint import load_variables
 
     cfg = _load_config(args)
-    tokenizer = _tokenizer(cfg)
-    model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
+    # The linear probe needs no text path; only build the tokenizer for
+    # the text-dependent evals.
+    needs_text = bool(args.zeroshot_dir or args.coco_val
+                      or args.captions_dir)
+    tokenizer = _tokenizer(cfg) if needs_text else None
+    model, _ = _build_model(
+        cfg, vocab_size=tokenizer.vocab_size if tokenizer else None)
     variables = load_variables(args.checkpoint, cfg)
 
     metrics = {}
+    if getattr(args, "linear_probe_dir", None):
+        from mae_clip_tpu.eval.linear_probe import linear_probe_dir_eval
+        metrics.update(linear_probe_dir_eval(
+            model, variables, args.linear_probe_dir, size=cfg.size,
+            batch_size=cfg.batch_size))
     if args.zeroshot_dir:
         from mae_clip_tpu.eval.zeroshot import zero_shot_dir_eval
         zs = zero_shot_dir_eval(
@@ -232,8 +242,8 @@ def cmd_eval(args) -> None:
             model, variables, ds, lambda d, b: make_loader(d, b),
             batch_size=cfg.batch_size, max_samples=args.max_samples))
     if not metrics:
-        raise SystemExit("pass --coco-val, --captions-dir, or "
-                         "--zeroshot-dir")
+        raise SystemExit("pass --coco-val, --captions-dir, "
+                         "--zeroshot-dir, or --linear-probe-dir")
     print(json.dumps(metrics))
 
 
@@ -478,6 +488,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--captions-dir")
     p.add_argument("--zeroshot-dir",
                    help="class-per-subdirectory image tree")
+    p.add_argument("--linear-probe-dir",
+                   help="class-per-subdirectory tree: linear probe on "
+                        "frozen encoder features (MAE-paper protocol)")
     p.add_argument("--template", default="a photo of a {}")
     p.add_argument("--max-samples", type=int, default=None)
     p.set_defaults(fn=cmd_eval)

@@ -84,17 +84,10 @@ def zero_shot_accuracy(model, variables, loader: Iterable[Dict],
     return {f"top{k}_accuracy": hits[k] / max(total, 1) for k in ks}
 
 
-def zero_shot_dir_eval(model, variables, tokenizer, directory: str,
-                       size: int, batch_size: int = 64,
-                       template: str = "a photo of a {}",
-                       ks: Sequence[int] = (1, 5)) -> Dict[str, float]:
-    """Zero-shot accuracy over a class-per-subdirectory image tree
-    (``directory/<class_name>/*.jpg``) — the CIFAR.ipynb protocol at
-    dataset scale. Batches are static-shape: the ragged tail is padded and
-    ``valid``-masked (never dropped)."""
+def class_dir_paths(directory: str
+                    ) -> Tuple[List[str], List[int], List[str]]:
+    """Walk a class-per-subdirectory image tree: (paths, labels, names)."""
     import os
-
-    from mae_clip_tpu.data.images import decode_image, host_preprocess
 
     class_names = sorted(d for d in os.listdir(directory)
                          if os.path.isdir(os.path.join(directory, d)))
@@ -106,26 +99,43 @@ def zero_shot_dir_eval(model, variables, tokenizer, directory: str,
         for fname in sorted(os.listdir(cdir)):
             paths.append(os.path.join(cdir, fname))
             labels.append(li)
+    return paths, labels, class_names
 
+
+def image_label_loader(paths: Sequence[str], labels: Sequence[int],
+                       size: int, batch_size: int
+                       ) -> Iterable[Dict[str, np.ndarray]]:
+    """Static-shape {image, label, valid} batches; ragged tail padded and
+    ``valid``-masked (never dropped)."""
+    from mae_clip_tpu.data.images import decode_image, host_preprocess
+
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start:start + batch_size]
+        imgs = np.stack([host_preprocess(decode_image(p), size)
+                         for p in chunk])
+        lab = np.asarray(labels[start:start + batch_size])
+        valid = np.ones(len(chunk), dtype=bool)
+        if len(chunk) < batch_size:
+            pad = batch_size - len(chunk)
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                                  imgs.dtype)])
+            lab = np.concatenate([lab, np.zeros(pad, lab.dtype)])
+            valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+        yield {"image": imgs, "label": lab, "valid": valid}
+
+
+def zero_shot_dir_eval(model, variables, tokenizer, directory: str,
+                       size: int, batch_size: int = 64,
+                       template: str = "a photo of a {}",
+                       ks: Sequence[int] = (1, 5)) -> Dict[str, float]:
+    """Zero-shot accuracy over a class-per-subdirectory image tree
+    (``directory/<class_name>/*.jpg``) — the CIFAR.ipynb protocol at
+    dataset scale."""
+    paths, labels, class_names = class_dir_paths(directory)
     classifier = build_zero_shot_classifier(model, variables, tokenizer,
                                             class_names, template)
-
-    def loader():
-        for start in range(0, len(paths), batch_size):
-            chunk = paths[start:start + batch_size]
-            imgs = np.stack([host_preprocess(decode_image(p), size)
-                             for p in chunk])
-            lab = np.asarray(labels[start:start + batch_size])
-            valid = np.ones(len(chunk), dtype=bool)
-            if len(chunk) < batch_size:       # pad + mask the ragged tail
-                pad = batch_size - len(chunk)
-                imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
-                                                      imgs.dtype)])
-                lab = np.concatenate([lab, np.zeros(pad, lab.dtype)])
-                valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
-            yield {"image": imgs, "label": lab, "valid": valid}
-
-    out = zero_shot_accuracy(model, variables, loader(), classifier, ks=ks)
+    loader = image_label_loader(paths, labels, size, batch_size)
+    out = zero_shot_accuracy(model, variables, loader, classifier, ks=ks)
     out["num_images"] = float(len(paths))
     out["num_classes"] = float(len(class_names))
     return out
