@@ -442,6 +442,48 @@ def cmd_mae_pretrain(args) -> None:
                       "best_valid_loss": trainer.best_loss}))
 
 
+def cmd_reconstruct(args) -> None:
+    """MAE reconstruction grid (paper Fig. 2): original | masked |
+    reconstructed, from a mae-pretrain run or a MAE-enabled CLIP
+    checkpoint."""
+    import dataclasses
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mae_clip_tpu.data.images import decode_image, host_preprocess
+    from mae_clip_tpu.eval.reconstruct import (mae_reconstructions,
+                                               save_reconstruction_grid)
+    from mae_clip_tpu.models.clip import mae_vit_for
+    from mae_clip_tpu.train.checkpoint import load_variables
+
+    cfg = _load_config(args)
+    if not cfg.mae.enabled:
+        cfg = cfg.replace(mae=dataclasses.replace(cfg.mae, enabled=True))
+    if not cfg.model_name.startswith("vit"):
+        cfg = cfg.replace(model_name="vit_s16", image_embedding=384)
+
+    model = mae_vit_for(cfg, attn_impl="xla")
+    params = load_variables(args.checkpoint, cfg)["params"]
+    if "image_encoder" in params:     # CLIP checkpoint: the tower subtree
+        params = params["image_encoder"]
+
+    paths = ([os.path.join(args.images, f)
+              for f in sorted(os.listdir(args.images))]
+             if os.path.isdir(args.images) else args.images.split(","))
+    paths = paths[:args.n]
+    imgs = jnp.asarray(np.stack(
+        [host_preprocess(decode_image(p), cfg.size) for p in paths]))
+
+    out = mae_reconstructions(model, {"params": params}, imgs,
+                              jax.random.PRNGKey(args.seed),
+                              norm_pix=cfg.mae.norm_pix_loss)
+    save_reconstruction_grid(out, args.out, max_rows=args.n)
+    print(json.dumps({"out": args.out, "images": len(paths)}))
+
+
 # ---------------------------------------------------------------------------
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -502,6 +544,19 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--labels", required=True, help="comma-separated")
     p.add_argument("--template", default="a photo of a {}")
     p.set_defaults(fn=cmd_zeroshot)
+
+    p = sub.add_parser("reconstruct",
+                       help="MAE reconstruction grid (original | masked | "
+                            "reconstructed)")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True,
+                   help="mae-pretrain run dir or MAE-enabled CLIP ckpt")
+    p.add_argument("--images", required=True,
+                   help="image directory or comma-separated files")
+    p.add_argument("--out", default="reconstructions.png")
+    p.add_argument("-n", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_reconstruct)
 
     p = sub.add_parser("import-pth",
                        help="convert a reference .pth checkpoint")

@@ -225,7 +225,8 @@ def _compile_step(step_fn, cfg: Config, mesh: Optional[Mesh],
     return jitted
 
 
-def _mae_images_and_forward(model, params, batch, rng, train: bool):
+def _mae_images_and_forward(model, params, batch, rng, train: bool,
+                            cfg: Config):
     """Shared forward for the image-only MAE objective."""
     images = batch["image"]
     if images.dtype == jnp.uint8:
@@ -239,8 +240,9 @@ def _mae_images_and_forward(model, params, batch, rng, train: bool):
         # Padded ragged-tail rows (pipeline.make_image_loader) get zero
         # weight: the loss mean counts only valid examples' masked patches.
         weight = weight * batch["valid"][:, None].astype(weight.dtype)
-    loss = losses_lib.mae_reconstruction_loss(out.pred_patches,
-                                              out.target_patches, weight)
+    loss = losses_lib.mae_reconstruction_loss(
+        out.pred_patches, out.target_patches, weight,
+        norm_pix=cfg.mae.norm_pix_loss)
     return loss
 
 
@@ -258,7 +260,8 @@ def make_mae_pretrain_step(model, tx, cfg: Config,
         rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_for(params):
-            loss = _mae_images_and_forward(model, params, batch, rng, True)
+            loss = _mae_images_and_forward(model, params, batch,
+                                           rng, True, cfg)
             return loss, {"loss": loss, "mae_loss": loss}
 
         (_, metrics), grads = jax.value_and_grad(
@@ -280,7 +283,7 @@ def make_mae_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
     def step_fn(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
         loss = _mae_images_and_forward(model, state.params, batch, rng,
-                                       False)
+                                       False, cfg)
         return {"loss": loss, "mae_loss": loss}
 
     return jax.jit(step_fn)

@@ -232,6 +232,18 @@ def test_cli_mae_pretrain_and_transfer(tmp_path):
     assert "patch_embed" in restored["params"]
     assert "decoder_pred" in restored["params"]
 
+    # Reconstruction grid from the pretrain checkpoint (paper Fig. 2 CLI).
+    out_png = tmp_path / "recon.png"
+    cli.main([
+        "reconstruct", "--checkpoint", str(run_dir),
+        "--images", str(img_dir), "--out", str(out_png), "-n", "2",
+        "--set", "size=32", "--set", "compute_dtype=float32",
+        "--set", "gelu_impl=null", "--set", "image_heads=null",
+        "--set", "mae.decoder_dim=16", "--set", "mae.decoder_depth=1",
+        "--set", "mae.decoder_heads=2",
+    ])
+    assert out_png.stat().st_size > 0
+
 
 def test_random_resized_crop_flip():
     from mae_clip_tpu.data.images import random_resized_crop_flip
