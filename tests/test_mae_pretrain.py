@@ -284,3 +284,39 @@ def test_image_loader_augment(tmp_path):
     np.testing.assert_array_equal(aug1["image"], aug1b["image"])  # (seed, i)
     assert not np.array_equal(aug1["image"], plain["image"])
     assert not np.array_equal(aug1["image"], aug2["image"])  # fresh crops
+
+
+def test_mae_trainer_resume_continues_identically(tmp_path):
+    """Resume-from-checkpoint for the MAE-pretraining objective reproduces
+    uninterrupted training exactly (full TrainState roundtrip)."""
+    from mae_clip_tpu.data.pipeline import ImageDataset, make_image_loader
+    from mae_clip_tpu.train.checkpoint import CheckpointManager
+
+    images = np.random.default_rng(7).normal(
+        size=(8, 32, 32, 3)).astype(np.float32)
+    ds = ImageDataset([f"{i}.png" for i in range(8)], size=32)
+
+    def batches_for(epoch):
+        return make_image_loader(ds, 4, shuffle=True, seed=100 + epoch,
+                                 images=images, num_threads=1)
+
+    def run(ckpt_dir, epochs, resume=False):
+        cfg = tiny_cfg(epochs=epochs, checkpoints=str(ckpt_dir))
+        model, tx, state = make_model_and_state(cfg)
+        mngr = CheckpointManager(str(ckpt_dir))
+        trainer = Trainer(cfg, model, state.params, tx=tx,
+                          checkpoint_manager=mngr, objective="mae")
+        start = trainer.restore() + 1 if resume else 0
+        hist = trainer.fit(batches_for, batches_for, start_epoch=start)
+        mngr.wait()
+        return hist, trainer
+
+    straight, _ = run(tmp_path / "a", epochs=3)
+    run(tmp_path / "b", epochs=2)
+    resumed, tr = run(tmp_path / "b", epochs=3, resume=True)
+    assert len(resumed["train_loss"]) == 1
+    np.testing.assert_allclose(resumed["train_loss"][0],
+                               straight["train_loss"][2], rtol=1e-6)
+    np.testing.assert_allclose(resumed["valid_loss"][0],
+                               straight["valid_loss"][2], rtol=1e-6)
+    tr.checkpoint_manager.close()
