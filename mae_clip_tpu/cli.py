@@ -148,15 +148,26 @@ def cmd_train(args) -> None:
                       batch_stats=variables.get("batch_stats"), mesh=mesh,
                       checkpoint_manager=mngr, writer=writer, progress=True)
 
+    # LiT-style frozen-text cache: one tower pass per dataset instead of
+    # one per step (~1/3 of the flagship step; see config field docs).
+    train_tf = valid_tf = None
+    if cfg.text_cache_enabled:
+        from mae_clip_tpu.train.loop import precompute_text_features
+        tv = trainer.state.variables()
+        train_tf = precompute_text_features(model, tv, train_ds)
+        valid_tf = precompute_text_features(model, tv, valid_ds)
+        print(f"cached frozen-text features: {train_tf.shape} train, "
+              f"{valid_tf.shape} valid")
+
     epoch_seed = [cfg.seed]
 
     def train_loader():
         epoch_seed[0] += 1
         return make_loader(train_ds, cfg.batch_size, shuffle=True,
-                           seed=epoch_seed[0])
+                           seed=epoch_seed[0], text_features=train_tf)
 
     def valid_loader():
-        return make_loader(valid_ds, cfg.batch_size)
+        return make_loader(valid_ds, cfg.batch_size, text_features=valid_tf)
 
     eval_fn = None
     if args.eval_retrieval:

@@ -140,6 +140,12 @@ class Config:
     compute_dtype: str = "bfloat16"  # matmul/activation dtype on TPU
     param_dtype: str = "float32"
     use_pallas: str = "auto"         # "auto" | "always" | "never"
+    # LiT-style frozen-text feature cache: precompute the (frozen,
+    # eval-mode) text tower's features once per dataset and skip the tower
+    # in every train step (~1/3 of the flagship step). None = auto: enabled
+    # exactly when text_trainable=False and frozen_text_eval_mode=True
+    # (the only configuration where it is mathematically a no-op).
+    cache_text_features: Optional[bool] = None
     remat: bool = False              # jax.checkpoint over tower blocks
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     global_contrastive: bool = True  # all-gather embeddings for global-batch loss
@@ -171,6 +177,19 @@ class Config:
                 f"unknown decoder_style {self.mae.decoder_style!r}")
         if self.lr_schedule not in ("constant", "cosine"):
             raise ValueError(f"unknown lr_schedule {self.lr_schedule!r}")
+        if self.cache_text_features and (
+                self.text_trainable or not self.frozen_text_eval_mode):
+            raise ValueError(
+                "cache_text_features=True requires a frozen text tower in "
+                "eval mode (text_trainable=False, frozen_text_eval_mode="
+                "True) — otherwise cached features are wrong")
+
+    @property
+    def text_cache_enabled(self) -> bool:
+        """Resolved cache_text_features (None = auto; see field docs)."""
+        if self.cache_text_features is not None:
+            return self.cache_text_features
+        return (not self.text_trainable) and self.frozen_text_eval_mode
 
     @property
     def image_feature_dim(self) -> int:

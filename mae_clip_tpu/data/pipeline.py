@@ -174,12 +174,20 @@ def make_loader(dataset: CaptionDataset, batch_size: int,
                 drop_last: bool = False, num_threads: int = 8,
                 prefetch: int = 2,
                 images: Optional[np.ndarray] = None,
-                host_id: int = 0, num_hosts: int = 1
+                host_id: int = 0, num_hosts: int = 1,
+                text_features: Optional[np.ndarray] = None
                 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield static-shape batches; the ragged tail is padded + masked.
 
     ``images``: optional preloaded (N,H,W,C) array (e.g. synthetic or
     in-memory datasets) that bypasses file decode.
+
+    ``text_features``: optional precomputed (N, D) FROZEN text-tower
+    features (``train.loop.precompute_text_features``); batches then carry
+    ``text_features`` instead of token ids and the train step skips the
+    text tower entirely (valid only when the tower is frozen AND runs in
+    eval mode — otherwise its output is not a pure function of the
+    caption).
 
     Multi-host: ``batch_size`` is the GLOBAL batch; each host yields its
     contiguous ``batch_size // num_hosts`` slice of every global batch, so
@@ -210,6 +218,14 @@ def make_loader(dataset: CaptionDataset, batch_size: int,
         if pad:
             imgs = np.concatenate(
                 [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        valid = np.zeros((local_bs,), dtype=bool)
+        valid[:count] = True
+        if text_features is not None:
+            feats = text_features[idx]
+            if pad:
+                feats = np.concatenate(
+                    [feats, np.zeros((pad, feats.shape[1]), feats.dtype)])
+            return {"image": imgs, "text_features": feats, "valid": valid}
         ids = dataset.input_ids[idx]
         mask = dataset.attention_mask[idx]
         if pad:
@@ -219,8 +235,6 @@ def make_loader(dataset: CaptionDataset, batch_size: int,
             pad_mask = np.zeros((pad, mask.shape[1]), mask.dtype)
             pad_mask[:, 0] = 1
             mask = np.concatenate([mask, pad_mask])
-        valid = np.zeros((local_bs,), dtype=bool)
-        valid[:count] = True
         return {"image": imgs, "input_ids": ids, "attention_mask": mask,
                 "valid": valid}
 

@@ -197,13 +197,23 @@ class CLIPModel(nn.Module):
             image_features = self.image_encoder(batch["image"],
                                                 deterministic=not train)
 
-        # A frozen text tower runs deterministic (LiT-style) unless the
-        # reference-faithful recipe disables it (cfg.frozen_text_eval_mode).
-        text_det = (not train) or (not cfg.text_trainable
-                                   and cfg.frozen_text_eval_mode)
-        text_features = self.text_encoder(batch["input_ids"],
-                                          batch["attention_mask"],
-                                          deterministic=text_det)
+        if "text_features" in batch:
+            # Precomputed FROZEN-tower features (B, text_embedding): the
+            # LiT-style cache — with text_trainable=False and eval-mode
+            # dropout the encoder output is a pure function of the caption,
+            # so it is computed once per dataset (train.loop.Trainer /
+            # data.pipeline.make_loader) and the whole tower is skipped
+            # here. Only the (trainable) projection runs per step.
+            text_features = batch["text_features"]
+        else:
+            # A frozen text tower runs deterministic (LiT-style) unless the
+            # reference-faithful recipe disables it
+            # (cfg.frozen_text_eval_mode).
+            text_det = (not train) or (not cfg.text_trainable
+                                       and cfg.frozen_text_eval_mode)
+            text_features = self.text_encoder(batch["input_ids"],
+                                              batch["attention_mask"],
+                                              deterministic=text_det)
         image_embeddings = self.image_projection(image_features,
                                                  deterministic=not train)
         text_embeddings = self.text_projection(text_features,

@@ -289,6 +289,49 @@ def make_mae_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
     return jax.jit(step_fn)
 
 
+def precompute_text_features(model, variables, dataset,
+                             batch_size: int = 512) -> np.ndarray:
+    """One-time frozen-text-tower pass over a whole CaptionDataset.
+
+    LiT-style cache: with ``text_trainable=False`` and
+    ``frozen_text_eval_mode=True`` the encoder output is a pure function of
+    the caption, so computing it per training step wastes ~1/3 of the
+    flagship step (measured: the 6-layer DistilBERT forward). Feed the
+    result to ``data.pipeline.make_loader(text_features=...)`` and the
+    train step skips the tower; only the trainable projection runs.
+
+    Returns (N, text_embedding) float32 (pre-projection CLS features).
+    """
+    cfg = model.cfg
+    if cfg.text_trainable or not cfg.frozen_text_eval_mode:
+        raise ValueError(
+            "text-feature caching requires a frozen text tower in eval "
+            "mode (text_trainable=False, frozen_text_eval_mode=True); "
+            "otherwise the tower output is not constant across steps")
+
+    @jax.jit
+    def encode(ids, mask):
+        return model.apply(variables, ids, mask, method=model.encode_text)
+
+    n = len(dataset)
+    out = []
+    for start in range(0, n, batch_size):
+        ids = dataset.input_ids[start:start + batch_size]
+        mask = dataset.attention_mask[start:start + batch_size]
+        count = len(ids)
+        if count < batch_size:                   # static-shape tail pad
+            pad = batch_size - count
+            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]),
+                                                ids.dtype)])
+            pm = np.zeros((pad, mask.shape[1]), mask.dtype)
+            pm[:, 0] = 1
+            mask = np.concatenate([mask, pm])
+        feats = np.asarray(encode(jnp.asarray(ids), jnp.asarray(mask)),
+                           dtype=np.float32)
+        out.append(feats[:count])
+    return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
+
+
 def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
     """Jitted eval step: (state, batch) -> metrics (no grads, no dropout)."""
     clip_loss_fn = _clip_loss_fn(cfg, mesh)
