@@ -42,6 +42,50 @@ def annotate(name: str) -> Iterator[None]:
         yield
 
 
+def trace_top_ops(trace_dir: str, top: int = 30,
+                  device_only: bool = True) -> List[dict]:
+    """Aggregate a :func:`trace` capture into per-op total durations.
+
+    Parses the newest ``*.trace.json.gz`` under ``trace_dir`` (the
+    Perfetto-format file jax.profiler writes) and sums complete ('X')
+    events by name per process. This is how the step-time breakdowns in
+    BASELINE.md were produced — it works headless over the remote-TPU
+    tunnel where the TensorBoard profiler UI is unavailable.
+
+    Returns [{name, total_ms, count, process}] sorted by total_ms desc.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+
+    files = sorted(glob.glob(os.path.join(trace_dir, "**",
+                                          "*.trace.json.gz"),
+                             recursive=True), key=os.path.getmtime)
+    if not files:
+        raise FileNotFoundError(f"no *.trace.json.gz under {trace_dir}")
+    data = json.load(gzip.open(files[-1]))
+    events = data.get("traceEvents", [])
+    pids = {e["pid"]: e["args"]["name"] for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+
+    agg: dict = {}
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        proc = pids.get(e["pid"], str(e["pid"]))
+        if device_only and "TPU" not in proc and "GPU" not in proc:
+            continue
+        key = (proc, e.get("name", "?"))
+        tot, cnt = agg.get(key, (0.0, 0))
+        agg[key] = (tot + e.get("dur", 0), cnt + 1)
+
+    rows = [{"process": k[0], "name": k[1], "total_ms": v[0] / 1e3,
+             "count": v[1]} for k, v in agg.items()]
+    rows.sort(key=lambda r: -r["total_ms"])
+    return rows[:top]
+
+
 class StepTimer:
     """Wall-clock step timing with percentile summary."""
 

@@ -53,3 +53,37 @@ def test_training_is_deterministic():
     b = run()
     assert a["train_loss"] == b["train_loss"]
     assert a["valid_loss"] == b["valid_loss"]
+
+
+def test_trace_top_ops(tmp_path):
+    """Parses a Perfetto-format trace dump into per-op totals."""
+    import gzip
+    import json
+
+    from mae_clip_tpu.utils.profiling import trace_top_ops
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 7, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "fusion.1",
+         "ts": 0, "dur": 1500},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "fusion.1",
+         "ts": 2000, "dur": 500},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "matmul.2",
+         "ts": 3000, "dur": 3000},
+        {"ph": "X", "pid": 7, "tid": 1, "name": "hostwork",
+         "ts": 0, "dur": 9999},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    rows = trace_top_ops(str(tmp_path))
+    assert rows[0]["name"] == "matmul.2" and rows[0]["total_ms"] == 3.0
+    assert rows[1]["name"] == "fusion.1" and rows[1]["count"] == 2
+    assert all("CPU" not in r["process"] for r in rows)
+    host = trace_top_ops(str(tmp_path), device_only=False)
+    assert any(r["name"] == "hostwork" for r in host)
