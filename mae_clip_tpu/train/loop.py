@@ -33,7 +33,8 @@ from mae_clip_tpu.parallel.sharding import (batch_sharding, param_shardings,
                                             replicate, shard_batch)
 from mae_clip_tpu.train.metrics import AvgMeter, MetricWriter, Throughput
 from mae_clip_tpu.train.optim import (ReduceLROnPlateau, current_lr,
-                                      make_optimizer, set_lr_scale)
+                                      make_optimizer, set_lr_scale,
+                                      trainable_mask)
 from mae_clip_tpu.train.state import TrainState
 
 
@@ -167,8 +168,12 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
+        # Skip the add on frozen leaves: XLA cannot fold their 0*scale
+        # updates (scale is runtime), so p + u would read+write the whole
+        # frozen tower every step; the identity aliases the donated buffer.
         new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates)
+            lambda p, u, t: p + u.astype(p.dtype) if t else p,
+            state.params, updates, trainable_mask(cfg, state.params))
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -269,7 +274,8 @@ def make_mae_pretrain_step(model, tx, cfg: Config,
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates)
+            lambda p, u, t: p + u.astype(p.dtype) if t else p,
+            state.params, updates, trainable_mask(cfg, state.params))
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   opt_state=new_opt_state)
         return new_state, metrics

@@ -95,8 +95,8 @@ def _adamw(lr, wd: float) -> optax.GradientTransformation:
                        weight_decay=wd)
 
 
-def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
-    """Build the optimizer for ``cfg.recipe`` over a CLIPModel param tree."""
+def param_groups(cfg: Config, params: Any) -> Any:
+    """Label tree: each param leaf -> "head" | "image" | "text" | "frozen"."""
 
     def group_of(path: str) -> str:
         if path.startswith("text_encoder"):
@@ -104,6 +104,23 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
         if path.startswith("image_encoder"):
             return "frozen" if not cfg.trainable else "image"
         return "head"
+
+    return _label_tree(params, group_of)
+
+
+def trainable_mask(cfg: Config, params: Any) -> Any:
+    """Bool tree, True where the optimizer updates the leaf. The train step
+    skips the ``p + update`` entirely for frozen leaves: with ``0 * scale``
+    updates XLA cannot fold the add (scale is a runtime value, 0*scale is
+    not provably 0), so every step would read+write the whole frozen tower
+    (~0.5 GB/step HBM for a frozen DistilBERT); an identity output aliases
+    the donated input buffer instead — zero traffic."""
+    return jax.tree_util.tree_map(lambda g: g != "frozen",
+                                  param_groups(cfg, params))
+
+
+def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
+    """Build the optimizer for ``cfg.recipe`` over a CLIPModel param tree."""
 
     sched = lambda peak: base_lr_schedule(cfg, peak)
     if cfg.recipe == "py":
@@ -123,7 +140,7 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown recipe {cfg.recipe!r}")
 
-    labels = _label_tree(params, group_of)
+    labels = param_groups(cfg, params)
     return optax.chain(
         optax.multi_transform(transforms, labels),
         scale_by_dynamic(),
