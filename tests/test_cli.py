@@ -53,3 +53,54 @@ def test_build_vocab_from_coco_json(tmp_path, capsys):
     tok = WordPieceTokenizer.from_vocab_file(str(out))
     enc = tok.encode_batch(["one fish"], max_length=8)
     assert np.asarray(enc["input_ids"]).shape[0] == 1
+
+
+def test_cli_train_end_to_end_with_text_cache(tmp_path, capsys):
+    """Full `cli train` drive on a synthetic Flickr-style dataset, with the
+    frozen-text feature cache active (the flagship production path) and
+    the 8-virtual-device mesh."""
+    import json as json_mod
+
+    import cv2
+    import numpy as np
+
+    data = tmp_path / "data"
+    img_dir = data / "Images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = ["id,image,caption"]
+    words = ["dog", "cat", "red", "ball", "runs", "sits"]
+    for i in range(10):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8))
+        caption = " ".join(rng.choice(words, size=4))
+        rows.append(f"{i},{name},a photo of {caption}")
+    (data / "captions.csv").write_text("\n".join(rows))
+
+    vocab = tmp_path / "vocab.txt"
+    cli.main(["build-vocab", str(data / "captions.csv"), str(vocab),
+              "--vocab-size", "64"])
+    capsys.readouterr()
+
+    run_dir = tmp_path / "run"
+    cli.main([
+        "train", "--captions-dir", str(data),
+        "--set", f"vocab_file={vocab}",
+        "--set", f"image_path={img_dir}",
+        "--set", "model_name=vit_s16", "--set", "image_embedding=384",
+        "--set", "batch_size=8", "--set", "epochs=1", "--set", "size=32",
+        "--set", "max_length=12", "--set", "compute_dtype=float32",
+        "--set", "mae.enabled=true", "--set", "mae.decoder_dim=16",
+        "--set", "mae.decoder_depth=1", "--set", "mae.decoder_heads=2",
+        "--set", "text_trainable=false", "--set",
+        "frozen_text_eval_mode=true",
+        "--set", f"checkpoints={run_dir}",
+        "--set", f"logdir={tmp_path / 'logs'}",
+    ])
+    out = capsys.readouterr().out
+    assert "cached frozen-text features" in out
+    result = json_mod.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(result["final_train_loss"])
+    assert np.isfinite(result["final_valid_loss"])
+    assert any(d.name.isdigit() for d in run_dir.iterdir())
