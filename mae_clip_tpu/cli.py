@@ -330,6 +330,9 @@ def cmd_serve(args) -> None:
     svc = RetrievalService(model, variables, tokenizer, gallery=gallery,
                            gallery_names=names, max_length=cfg.max_length,
                            dedup_stride=5 if names else 1)
+    if args.microbatch > 1 and gallery is not None:
+        svc.enable_micro_batching(max_batch=args.microbatch,
+                                  max_wait_ms=args.microbatch_wait_ms)
     server = make_server(svc, host=args.host, port=args.port)
     print(json.dumps({"serving": f"http://{args.host}:"
                                  f"{server.server_address[1]}",
@@ -582,6 +585,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--coco-val", help="build the retrieval gallery")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--microbatch", type=int, default=16,
+                   help="coalesce up to N concurrent /retrieve requests "
+                        "into one jitted call (1 disables)")
+    p.add_argument("--microbatch-wait-ms", type=float, default=5.0)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("build-vocab",

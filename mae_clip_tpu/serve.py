@@ -19,9 +19,11 @@ Endpoints:
 from __future__ import annotations
 
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +31,76 @@ import numpy as np
 
 from mae_clip_tpu.data.images import normalize_uint8
 from mae_clip_tpu.ops.retrieval import l2_normalize, retrieval_topk
+
+
+class MicroBatcher:
+    """Dynamic request coalescing for TPU serving.
+
+    A TPU executes one program at a time, and a 1-query retrieval costs
+    nearly the same as a 16-query one (the gallery matmul is HBM-bound) —
+    so concurrent single requests are batched: the worker takes the first
+    queued item, waits up to ``max_wait_ms`` for more (up to ``max_batch``),
+    and runs ONE ``fn(items) -> results`` call for the whole batch.
+    Callers block in ``submit`` until their result is ready. Exceptions
+    propagate to every caller in the failed batch.
+    """
+
+    _STOP = object()
+
+    def __init__(self, fn: Callable[[List[Any]], List[Any]],
+                 max_batch: int = 16, max_wait_ms: float = 5.0):
+        self.fn = fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.batches_run = 0
+        self.items_run = 0
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, item: Any) -> Any:
+        ev = threading.Event()
+        box: Dict[str, Any] = {}
+        self._q.put((item, ev, box))
+        ev.wait()
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
+
+    def close(self) -> None:
+        self._q.put(self._STOP)
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is self._STOP:
+                return
+            batch: List[Tuple[Any, threading.Event, Dict]] = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is self._STOP:
+                    self._q.put(self._STOP)   # re-queue for the outer loop
+                    break
+                batch.append(nxt)
+            try:
+                results = self.fn([b[0] for b in batch])
+                for (item, ev, box), r in zip(batch, results):
+                    box["result"] = r
+                    ev.set()
+            except Exception as e:                 # noqa: BLE001
+                for _, ev, box in batch:
+                    box["error"] = e
+                    ev.set()
+            self.batches_run += 1
+            self.items_run += len(batch)
 
 
 class RetrievalService:
@@ -62,6 +134,59 @@ class RetrievalService:
 
         self._embed_text = _embed_text
         self._embed_image = _embed_image
+        self._batcher: Optional[MicroBatcher] = None
+
+    # -- micro-batching ----------------------------------------------------
+    def enable_micro_batching(self, max_batch: int = 16,
+                              max_wait_ms: float = 5.0,
+                              fixed_length: int = 64,
+                              max_n: int = 50) -> MicroBatcher:
+        """Coalesce concurrent /retrieve requests into ONE jitted call.
+
+        Shapes are pinned — queries tokenized to ``fixed_length``, batches
+        padded to ``max_batch``, top-k at ``dedup_stride * max_n`` — so the
+        executable compiles exactly once (per-batch ragged shapes would
+        retrace XLA on every distinct size).
+        """
+        if self.gallery is None:
+            raise ValueError("micro-batching needs a gallery loaded")
+        self._mb_fixed_length = fixed_length
+        self._mb_max_batch = max_batch
+        self._mb_k = self.dedup_stride * max_n
+        self._mb_max_n = max_n
+        self._batcher = MicroBatcher(self._retrieve_many,
+                                     max_batch=max_batch,
+                                     max_wait_ms=max_wait_ms)
+        return self._batcher
+
+    def _retrieve_many(self, items: List[Tuple[str, int]]) -> List[Dict]:
+        queries = [q for q, _ in items]
+        enc = self.tokenizer.encode_batch(
+            queries, max_length=self._mb_fixed_length,
+            fixed_length=self._mb_fixed_length)
+        ids = np.asarray(enc["input_ids"], np.int32)
+        mask = np.asarray(enc["attention_mask"], np.int32)
+        pad = self._mb_max_batch - len(queries)
+        if pad:
+            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]),
+                                                ids.dtype)])
+            pm = np.zeros((pad, mask.shape[1]), mask.dtype)
+            pm[:, 0] = 1
+            mask = np.concatenate([mask, pm])
+        emb = self._embed_text(self.variables, jnp.asarray(ids),
+                               jnp.asarray(mask))
+        scores, idx = retrieval_topk(emb, self.gallery, k=self._mb_k)
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        out = []
+        for row, (_, n) in enumerate(items):
+            n = min(n, self._mb_max_n)
+            ri = idx[row][::self.dedup_stride][:n]
+            rs = scores[row][::self.dedup_stride][:n]
+            names = ([self.gallery_names[i] for i in ri]
+                     if self.gallery_names else ri.tolist())
+            out.append({"matches": names, "scores": rs.tolist(),
+                        "indices": ri.tolist()})
+        return out
 
     # -- API ---------------------------------------------------------------
     def embed_text(self, texts: Sequence[str]) -> np.ndarray:
@@ -78,6 +203,8 @@ class RetrievalService:
     def retrieve(self, query: str, n: int = 9) -> Dict:
         if self.gallery is None:
             raise ValueError("service has no gallery loaded")
+        if self._batcher is not None:
+            return self._batcher.submit((query, n))
         text_emb = jnp.asarray(self.embed_text([query]))
         k = n * self.dedup_stride
         scores, idx = retrieval_topk(text_emb, self.gallery, k=k)

@@ -100,3 +100,81 @@ def test_http_server_endpoints(service):
     with urllib.request.urlopen(base + "/healthz") as r:
         assert json.loads(r.read())["status"] == "ok"
     server.shutdown()
+
+
+def test_micro_batching_coalesces_and_matches_sequential(service):
+    """Concurrent /retrieve requests coalesce into fewer jitted calls and
+    return the same results as the unbatched path."""
+    import threading
+
+    # Ground truth via the unbatched path.
+    service._batcher = None
+    want = {q: service.retrieve(q, n=3)
+            for q in ("a red square", "a blue circle", "a green dog")}
+
+    batcher = service.enable_micro_batching(max_batch=8, max_wait_ms=50.0,
+                                            fixed_length=16, max_n=5)
+    try:
+        results = {}
+        lock = threading.Lock()
+
+        def worker(q):
+            r = service.retrieve(q, n=3)
+            with lock:
+                results[q] = r
+
+        threads = [threading.Thread(target=worker, args=(q,))
+                   for q in want for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for q, r in results.items():
+            assert r["matches"] == want[q]["matches"]
+            np.testing.assert_allclose(r["scores"], want[q]["scores"],
+                                       rtol=1e-5)
+        # 6 requests landed in fewer batches than requests (coalesced).
+        assert batcher.items_run == 6
+        assert batcher.batches_run < 6
+    finally:
+        batcher.close()
+        service._batcher = None
+
+
+def test_micro_batcher_error_propagates():
+    from mae_clip_tpu.serve import MicroBatcher
+
+    def boom(items):
+        raise RuntimeError("bad batch")
+
+    b = MicroBatcher(boom, max_batch=4, max_wait_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="bad batch"):
+            b.submit(("q", 1))
+    finally:
+        b.close()
+
+
+def test_micro_batcher_respects_max_batch():
+    from mae_clip_tpu.serve import MicroBatcher
+
+    calls = []
+
+    def fn(items):
+        calls.append(len(items))
+        return items
+
+    b = MicroBatcher(fn, max_batch=2, max_wait_ms=200.0)
+    try:
+        import threading
+        threads = [threading.Thread(target=b.submit, args=(i,))
+                   for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sum(calls) == 5
+        assert all(c <= 2 for c in calls)
+    finally:
+        b.close()
