@@ -237,8 +237,8 @@ class MAEViT(nn.Module):
             for block in self.decoder_blocks:
                 q = block(q, kv, deterministic)
             pred = self.decoder_pred(self.decoder_norm(q))   # (B, N-K, PPC)
-            target_masked = jnp.take_along_axis(
-                target, masking.ids_masked[:, :, None], axis=1)
+            from mae_clip_tpu.ops.masking import gather_patches_onehot
+            target_masked = gather_patches_onehot(target, masking.ids_masked)
             ones = jnp.ones(masking.ids_masked.shape, dtype=jnp.float32)
             return MAEOutput(pooled=pooled, pred_patches=pred,
                              target_patches=target_masked, mask=ones)

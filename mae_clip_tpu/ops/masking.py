@@ -40,6 +40,21 @@ def random_masking(rng: jax.Array, batch: int, num_patches: int,
                          ids_shuffle[:, len_keep:])
 
 
+def gather_patches_onehot(x: jax.Array, ids: jax.Array) -> jax.Array:
+    """`take_along_axis(x, ids[..., None], axis=1)` as a one-hot matmul.
+
+    XLA lowers the straight gather of a (B, N, D) f32 tensor to a custom
+    call PLUS a full layout copy of the result (traced at 0.65 ms/step at
+    b256, scaling ~3x for 2x batch); the one-hot einsum rides the MXU
+    instead. Exact: each output element is a single 1*x product (no
+    accumulation ordering effects).
+    """
+    n = x.shape[1]
+    onehot = jax.nn.one_hot(ids, n, dtype=x.dtype)          # (B, K, N)
+    return jnp.einsum("bkn,bnd->bkd", onehot, x,
+                      preferred_element_type=x.dtype)
+
+
 def gather_patches(x: jax.Array, ids: jax.Array) -> jax.Array:
     """Gather tokens along axis 1: (B, N, D), (B, K) -> (B, K, D)."""
     return jnp.take_along_axis(x, ids[:, :, None], axis=1)
