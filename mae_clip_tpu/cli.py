@@ -477,16 +477,23 @@ def cmd_reconstruct(args) -> None:
     if not cfg.mae.enabled:
         cfg = cfg.replace(mae=dataclasses.replace(cfg.mae, enabled=True))
     if not cfg.model_name.startswith("vit"):
-        cfg = cfg.replace(model_name="vit_s16", image_embedding=384)
+        # Do NOT silently rewrite: the model geometry must match the
+        # checkpoint or flax restore fails with an opaque error later.
+        raise SystemExit(
+            f"reconstruct needs a ViT+MAE checkpoint; config has "
+            f"model_name={cfg.model_name!r} (pass --set model_name=vit_s16 "
+            f"etc. to match the checkpoint)")
 
     model = mae_vit_for(cfg, attn_impl="xla")
     params = load_variables(args.checkpoint, cfg)["params"]
     if "image_encoder" in params:     # CLIP checkpoint: the tower subtree
         params = params["image_encoder"]
 
-    paths = ([os.path.join(args.images, f)
-              for f in sorted(os.listdir(args.images))]
-             if os.path.isdir(args.images) else args.images.split(","))
+    if os.path.isdir(args.images):
+        from mae_clip_tpu.data.pipeline import ImageDataset
+        paths = ImageDataset.from_directory(args.images).image_filenames
+    else:
+        paths = args.images.split(",")
     paths = paths[:args.n]
     imgs = jnp.asarray(np.stack(
         [host_preprocess(decode_image(p), cfg.size) for p in paths]))

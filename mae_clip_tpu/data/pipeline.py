@@ -22,7 +22,7 @@ input_ids (B,S) i32, attention_mask (B,S) i32, valid (B,) bool}.
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -76,24 +76,9 @@ class ImageFileSource:
                    ) -> np.ndarray:
         path = (f"{self.image_path}/{self.image_filenames[idx]}"
                 if self.image_path else self.image_filenames[idx])
-        if aug_rng is not None:
-            # Augmented (MAE-pretraining) path: RandomResizedCrop + flip
-            # replaces the plain resize. Bypasses the native fused kernel
-            # (its resize geometry is fixed); decode stays cv2.
-            from mae_clip_tpu.data.images import random_resized_crop_flip
-            img = random_resized_crop_flip(decode_image(path), self.size,
-                                           aug_rng)
-            if self.raw_uint8:
-                if self.patchify_size:
-                    from mae_clip_tpu.data.images import patchify_host
-                    return patchify_host(img, self.patchify_size)
-                return img
-            out = host_preprocess(img, self.size)
-            if self.patchify_size:
-                from mae_clip_tpu.data.images import patchify_host
-                return patchify_host(out, self.patchify_size)
-            return out
-        if self._native_enabled():
+        if aug_rng is None and self._native_enabled():
+            # Native fused decode->resize->patchify fast path (fixed
+            # resize geometry, so the augmented path bypasses it).
             from mae_clip_tpu.data import native_images
             try:
                 with open(path, "rb") as f:
@@ -106,17 +91,18 @@ class ImageFileSource:
                     decode_image(path), self.size, self.patchify_size)
             if out is not None:
                 return out
+
+        # One sizing step — RandomResizedCrop+flip (MAE pretraining) or
+        # the plain cv2 bilinear resize — then a shared output tail.
         img = decode_image(path)
-        if self.raw_uint8:
-            # Device-side normalize path: ship compact uint8.
+        if aug_rng is not None:
+            from mae_clip_tpu.data.images import random_resized_crop_flip
+            sized = random_resized_crop_flip(img, self.size, aug_rng)
+        else:
             import cv2
-            resized = cv2.resize(img, (self.size, self.size),
-                                 interpolation=cv2.INTER_LINEAR)
-            if self.patchify_size:
-                from mae_clip_tpu.data.images import patchify_host
-                return patchify_host(resized, self.patchify_size)
-            return resized
-        out = host_preprocess(img, self.size)
+            sized = cv2.resize(img, (self.size, self.size),
+                               interpolation=cv2.INTER_LINEAR)
+        out = sized if self.raw_uint8 else host_preprocess(sized, self.size)
         if self.patchify_size:
             from mae_clip_tpu.data.images import patchify_host
             return patchify_host(out, self.patchify_size)
@@ -167,6 +153,24 @@ class CaptionDataset(ImageFileSource):
 
     def __len__(self) -> int:
         return len(self.captions)
+
+
+def pad_token_batch(ids: np.ndarray, mask: np.ndarray, batch_size: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad (n, S) token ids + attention mask to ``batch_size`` rows.
+
+    Pad rows keep ONE valid attention token so the attention softmax over
+    an all-masked row stays finite — the single place this invariant
+    lives (used by the loader, the frozen-text precompute, and serving).
+    """
+    pad = batch_size - len(ids)
+    if pad <= 0:
+        return ids, mask
+    ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
+    pad_mask = np.zeros((pad, mask.shape[1]), mask.dtype)
+    pad_mask[:, 0] = 1
+    mask = np.concatenate([mask, pad_mask])
+    return ids, mask
 
 
 def make_loader(dataset: CaptionDataset, batch_size: int,
@@ -226,15 +230,8 @@ def make_loader(dataset: CaptionDataset, batch_size: int,
                 feats = np.concatenate(
                     [feats, np.zeros((pad, feats.shape[1]), feats.dtype)])
             return {"image": imgs, "text_features": feats, "valid": valid}
-        ids = dataset.input_ids[idx]
-        mask = dataset.attention_mask[idx]
-        if pad:
-            ids = np.concatenate(
-                [ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
-            # Keep one valid token on pad rows so softmax stays finite.
-            pad_mask = np.zeros((pad, mask.shape[1]), mask.dtype)
-            pad_mask[:, 0] = 1
-            mask = np.concatenate([mask, pad_mask])
+        ids, mask = pad_token_batch(dataset.input_ids[idx],
+                                    dataset.attention_mask[idx], local_bs)
         return {"image": imgs, "input_ids": ids, "attention_mask": mask,
                 "valid": valid}
 
@@ -278,6 +275,11 @@ def make_image_loader(dataset: ImageFileSource, batch_size: int,
     ``augment=True`` applies RandomResizedCrop+flip per image (the MAE
     pretraining augmentation); deterministic in (seed, image index), so
     vary ``seed`` per epoch for fresh crops."""
+    if augment and images is not None:
+        raise ValueError(
+            "augment=True needs file-backed images (crops are taken from "
+            "the full-resolution source); preloaded `images=` arrays are "
+            "already sized and would silently skip augmentation")
     if batch_size % num_hosts != 0:
         raise ValueError(f"global batch {batch_size} not divisible by "
                          f"num_hosts {num_hosts}")

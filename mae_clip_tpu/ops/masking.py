@@ -47,12 +47,15 @@ def gather_patches_onehot(x: jax.Array, ids: jax.Array) -> jax.Array:
     call PLUS a full layout copy of the result (traced at 0.65 ms/step at
     b256, scaling ~3x for 2x batch); the one-hot einsum rides the MXU
     instead. Exact: each output element is a single 1*x product (no
-    accumulation ordering effects).
+    accumulation ordering effects) — but ONLY at HIGHEST matmul precision:
+    the TPU default truncates f32 operands to one bf16 pass, which would
+    silently round the gathered values.
     """
     n = x.shape[1]
     onehot = jax.nn.one_hot(ids, n, dtype=x.dtype)          # (B, K, N)
     return jnp.einsum("bkn,bnd->bkd", onehot, x,
-                      preferred_element_type=x.dtype)
+                      preferred_element_type=x.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def gather_patches(x: jax.Array, ids: jax.Array) -> jax.Array:

@@ -139,20 +139,24 @@ class RetrievalService:
     # -- micro-batching ----------------------------------------------------
     def enable_micro_batching(self, max_batch: int = 16,
                               max_wait_ms: float = 5.0,
-                              fixed_length: int = 64,
+                              fixed_length: Optional[int] = None,
                               max_n: int = 50) -> MicroBatcher:
         """Coalesce concurrent /retrieve requests into ONE jitted call.
 
-        Shapes are pinned — queries tokenized to ``fixed_length``, batches
-        padded to ``max_batch``, top-k at ``dedup_stride * max_n`` — so the
-        executable compiles exactly once (per-batch ragged shapes would
-        retrace XLA on every distinct size).
+        Shapes are pinned — queries tokenized to ``fixed_length``
+        (defaults to the service's ``max_length``), batches padded to
+        ``max_batch``, top-k at ``dedup_stride * max_n`` (clamped to the
+        gallery size) — so the executable compiles exactly once
+        (per-batch ragged shapes would retrace XLA on every distinct
+        size). Requests asking for more than ``max_n`` results get
+        ``max_n`` (the static-k ceiling).
         """
         if self.gallery is None:
             raise ValueError("micro-batching needs a gallery loaded")
-        self._mb_fixed_length = fixed_length
+        self._mb_fixed_length = fixed_length or self.max_length or 64
         self._mb_max_batch = max_batch
-        self._mb_k = self.dedup_stride * max_n
+        self._mb_k = min(self.dedup_stride * max_n,
+                         int(self.gallery.shape[0]))
         self._mb_max_n = max_n
         self._batcher = MicroBatcher(self._retrieve_many,
                                      max_batch=max_batch,
@@ -160,19 +164,16 @@ class RetrievalService:
         return self._batcher
 
     def _retrieve_many(self, items: List[Tuple[str, int]]) -> List[Dict]:
+        from mae_clip_tpu.data.pipeline import pad_token_batch
+
         queries = [q for q, _ in items]
         enc = self.tokenizer.encode_batch(
             queries, max_length=self._mb_fixed_length,
             fixed_length=self._mb_fixed_length)
-        ids = np.asarray(enc["input_ids"], np.int32)
-        mask = np.asarray(enc["attention_mask"], np.int32)
-        pad = self._mb_max_batch - len(queries)
-        if pad:
-            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]),
-                                                ids.dtype)])
-            pm = np.zeros((pad, mask.shape[1]), mask.dtype)
-            pm[:, 0] = 1
-            mask = np.concatenate([mask, pm])
+        ids, mask = pad_token_batch(
+            np.asarray(enc["input_ids"], np.int32),
+            np.asarray(enc["attention_mask"], np.int32),
+            self._mb_max_batch)
         emb = self._embed_text(self.variables, jnp.asarray(ids),
                                jnp.asarray(mask))
         scores, idx = retrieval_topk(emb, self.gallery, k=self._mb_k)

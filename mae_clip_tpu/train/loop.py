@@ -319,19 +319,15 @@ def precompute_text_features(model, variables, dataset,
     def encode(ids, mask):
         return model.apply(variables, ids, mask, method=model.encode_text)
 
+    from mae_clip_tpu.data.pipeline import pad_token_batch
+
     n = len(dataset)
     out = []
     for start in range(0, n, batch_size):
-        ids = dataset.input_ids[start:start + batch_size]
-        mask = dataset.attention_mask[start:start + batch_size]
-        count = len(ids)
-        if count < batch_size:                   # static-shape tail pad
-            pad = batch_size - count
-            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]),
-                                                ids.dtype)])
-            pm = np.zeros((pad, mask.shape[1]), mask.dtype)
-            pm[:, 0] = 1
-            mask = np.concatenate([mask, pm])
+        count = min(batch_size, n - start)
+        ids, mask = pad_token_batch(                 # static-shape tail
+            dataset.input_ids[start:start + batch_size],
+            dataset.attention_mask[start:start + batch_size], batch_size)
         feats = np.asarray(encode(jnp.asarray(ids), jnp.asarray(mask)),
                            dtype=np.float32)
         out.append(feats[:count])

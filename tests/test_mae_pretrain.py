@@ -237,6 +237,7 @@ def test_cli_mae_pretrain_and_transfer(tmp_path):
     cli.main([
         "reconstruct", "--checkpoint", str(run_dir),
         "--images", str(img_dir), "--out", str(out_png), "-n", "2",
+        "--set", "model_name=vit_s16", "--set", "image_embedding=384",
         "--set", "size=32", "--set", "compute_dtype=float32",
         "--set", "gelu_impl=null", "--set", "image_heads=null",
         "--set", "mae.decoder_dim=16", "--set", "mae.decoder_depth=1",

@@ -178,3 +178,16 @@ def test_micro_batcher_respects_max_batch():
         assert all(c <= 2 for c in calls)
     finally:
         b.close()
+
+
+def test_micro_batching_clamps_topk_to_gallery(service):
+    """max_n larger than the gallery must clamp k instead of crashing
+    every /retrieve (jax top_k raises when k > rows)."""
+    batcher = service.enable_micro_batching(max_batch=4, max_wait_ms=1.0,
+                                            max_n=50)
+    try:
+        out = service.retrieve("a red square", n=100)
+        assert len(out["matches"]) == len(service.gallery_names)
+    finally:
+        batcher.close()
+        service._batcher = None
