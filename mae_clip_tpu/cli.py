@@ -505,6 +505,36 @@ def cmd_reconstruct(args) -> None:
     print(json.dumps({"out": args.out, "images": len(paths)}))
 
 
+def cmd_export_pth(args) -> None:
+    """Export a checkpoint to a torch ``.pth`` state_dict:
+    * reference-layout CLIP composite (default) — loads into the
+      reference's ``model.load_state_dict`` (reference inference.py:18);
+    * ``--timm-vit`` — the (MAE-pretrained or CLIP) ViT image encoder as a
+      timm VisionTransformer state_dict."""
+    from mae_clip_tpu.interop.torch_export import (export_clip_state_dict,
+                                                   export_mae_encoder_to_timm,
+                                                   save_pth)
+    from mae_clip_tpu.train.checkpoint import load_variables
+
+    cfg = _load_config(args)
+    variables = load_variables(args.checkpoint, cfg)
+
+    if args.timm_vit:
+        params = variables["params"]
+        if "image_encoder" in params:     # CLIP ckpt: the tower subtree
+            params = params["image_encoder"]
+        if "patch_embed" not in params:
+            raise SystemExit("--timm-vit needs a ViT/MAE image tower")
+        import numpy as np
+        rows = np.asarray(params["patch_embed"]["proj"]["kernel"]).shape[0]
+        patch = int(round((rows // 3) ** 0.5))
+        sd = export_mae_encoder_to_timm(params, grid_size=cfg.size // patch)
+    else:
+        sd = export_clip_state_dict(variables, model_name=cfg.model_name)
+    save_pth(sd, args.out)
+    print(json.dumps({"out": args.out, "tensors": len(sd)}))
+
+
 # ---------------------------------------------------------------------------
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -585,6 +615,17 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("pth")
     p.add_argument("out")
     p.set_defaults(fn=cmd_import_pth)
+
+    p = sub.add_parser("export-pth",
+                       help="export a checkpoint to a torch .pth "
+                            "(reference CLIP layout, or --timm-vit)")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("out")
+    p.add_argument("--timm-vit", action="store_true",
+                   help="export the ViT image encoder as a timm "
+                        "VisionTransformer state_dict")
+    p.set_defaults(fn=cmd_export_pth)
 
     p = sub.add_parser("serve", help="HTTP embedding/retrieval server")
     _add_config_args(p)

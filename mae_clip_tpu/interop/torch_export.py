@@ -95,6 +95,75 @@ def export_resnet50(params: Mapping, batch_stats: Mapping, prefix: str
     return sd
 
 
+def export_timm_vit(params, prefix: str = "",
+                    sincos_grid: int = 0,
+                    channels: int = 3) -> Dict[str, np.ndarray]:
+    """ViT encoder params -> timm VisionTransformer state_dict.
+
+    Exact inverse of ``torch_import.import_timm_vit`` (same layout notes:
+    our patchify-matmul kernel (P*P*C, D) becomes timm's conv weight
+    (D, C, P, P)). Encoders trained with fixed sincos positions (the MAE
+    tower) have no ``pos_embed`` param; pass ``sincos_grid`` to materialize
+    the sincos table under the ``pos_embed`` key so the dict strict-loads
+    into timm/torch ViTs.
+    """
+    p = prefix
+    sd: Dict[str, np.ndarray] = {}
+    sd[p + "cls_token"] = _get(params, "cls_token")
+
+    kernel = _get(params, "patch_embed", "proj", "kernel")  # (P*P*C, D)
+    dim = kernel.shape[1]
+    patch = int(round((kernel.shape[0] // channels) ** 0.5))
+    w = kernel.T.reshape(dim, patch, patch, channels)
+    sd[p + "patch_embed.proj.weight"] = np.transpose(w, (0, 3, 1, 2))
+    sd[p + "patch_embed.proj.bias"] = _get(params, "patch_embed", "proj",
+                                           "bias")
+
+    if "pos_embed" in params:
+        sd[p + "pos_embed"] = _get(params, "pos_embed")
+    elif sincos_grid:
+        from mae_clip_tpu.models.vit import sincos_pos_embed_2d
+        sd[p + "pos_embed"] = sincos_pos_embed_2d(
+            dim, sincos_grid, cls_token=True)[None].astype(np.float32)
+
+    i = 0
+    while f"block_{i}" in params:
+        b = params[f"block_{i}"]
+        bp = f"{p}blocks.{i}."
+        for ln in ("norm1", "norm2"):
+            sd[bp + f"{ln}.weight"] = _get(b, ln, "scale")
+            sd[bp + f"{ln}.bias"] = _get(b, ln, "bias")
+        sd[bp + "attn.qkv.weight"] = _get(b, "attn_qkv", "kernel").T
+        sd[bp + "attn.qkv.bias"] = _get(b, "attn_qkv", "bias")
+        sd[bp + "attn.proj.weight"] = _get(b, "attn_proj", "kernel").T
+        sd[bp + "attn.proj.bias"] = _get(b, "attn_proj", "bias")
+        sd[bp + "mlp.fc1.weight"] = _get(b, "mlp_fc1", "kernel").T
+        sd[bp + "mlp.fc1.bias"] = _get(b, "mlp_fc1", "bias")
+        sd[bp + "mlp.fc2.weight"] = _get(b, "mlp_fc2", "kernel").T
+        sd[bp + "mlp.fc2.bias"] = _get(b, "mlp_fc2", "bias")
+        i += 1
+
+    sd[p + "norm.weight"] = _get(params, "norm", "scale")
+    sd[p + "norm.bias"] = _get(params, "norm", "bias")
+    return sd
+
+
+def export_mae_encoder_to_timm(mae_params, grid_size: int,
+                               prefix: str = "") -> Dict[str, np.ndarray]:
+    """Standalone MAEViT pretraining params -> timm ViT state_dict.
+
+    The MAE workflow's torch-facing exit: after image-only pretraining
+    (``cli mae-pretrain``), the encoder (patch embed, blocks, final norm,
+    cls token — the decoder is pretraining-only scaffolding, dropped like
+    the MAE paper does for transfer) becomes a standard timm
+    VisionTransformer state_dict with materialized sincos positions.
+    """
+    encoder = {k: v for k, v in mae_params.items()
+               if k in ("cls_token", "norm", "patch_embed")
+               or k.startswith("block_")}
+    return export_timm_vit(encoder, prefix=prefix, sincos_grid=grid_size)
+
+
 def export_clip_state_dict(variables: Mapping, model_name: str = "resnet50"
                            ) -> Dict[str, np.ndarray]:
     """Flax variables -> reference-layout state_dict (numpy arrays)."""

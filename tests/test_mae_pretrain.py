@@ -232,6 +232,20 @@ def test_cli_mae_pretrain_and_transfer(tmp_path):
     assert "patch_embed" in restored["params"]
     assert "decoder_pred" in restored["params"]
 
+    # timm-ViT .pth export of the pretrained encoder (torch-facing exit).
+    import torch
+    out_pth = tmp_path / "encoder.pth"
+    cli.main([
+        "export-pth", "--checkpoint", str(run_dir), str(out_pth),
+        "--timm-vit",
+        "--set", "model_name=vit_s16", "--set", "image_embedding=384",
+        "--set", "size=32", "--set", "compute_dtype=float32",
+    ])
+    sd = torch.load(str(out_pth), weights_only=True)
+    assert "patch_embed.proj.weight" in sd and "pos_embed" in sd
+    assert sd["patch_embed.proj.weight"].shape == (384, 3, 16, 16)
+    assert not any("decoder" in k for k in sd)
+
     # Reconstruction grid from the pretrain checkpoint (paper Fig. 2 CLI).
     out_png = tmp_path / "recon.png"
     cli.main([

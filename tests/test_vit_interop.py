@@ -81,3 +81,63 @@ def test_vit_encoder_matches_timm_oracle():
     got = model.apply({"params": params}, jnp.array(x))
     np.testing.assert_allclose(np.asarray(got), expected, atol=2e-5,
                                rtol=1e-4)
+
+
+def test_export_timm_vit_roundtrip_and_torch_load():
+    """export_timm_vit is the exact inverse of import_timm_vit, and the
+    exported dict strict-loads into the torch oracle with identical
+    forward outputs."""
+    from mae_clip_tpu.interop.torch_export import export_timm_vit
+
+    torch.manual_seed(1)
+    oracle = TorchTimmViT().eval()
+    params = import_timm_vit(oracle.state_dict())
+    sd = export_timm_vit(params)
+
+    # Key-for-key exact roundtrip.
+    want = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    assert set(sd) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(sd[k]), want[k])
+
+    # Strict-loads into a fresh torch module; same forward.
+    other = TorchTimmViT().eval()
+    other.load_state_dict({k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()}, strict=True)
+    x = np.random.default_rng(1).normal(size=(2, 3, 32, 32)).astype(
+        np.float32)
+    with torch.no_grad():
+        np.testing.assert_array_equal(oracle(torch.tensor(x)).numpy(),
+                                      other(torch.tensor(x)).numpy())
+
+
+def test_export_mae_encoder_to_timm():
+    """MAE-pretrained encoder exports to a timm dict whose torch forward
+    matches our encode_full pass (sincos positions materialized; decoder
+    dropped)."""
+    import jax
+    from mae_clip_tpu.interop.torch_export import export_mae_encoder_to_timm
+    from mae_clip_tpu.models.mae import MAEDecoderConfig, MAEViT
+
+    cfg = ViTConfig(image_size=32, patch_size=8, dim=24, depth=2, n_heads=3,
+                    pos_embed="sincos", pool="cls")
+    model = MAEViT(cfg, decoder=MAEDecoderConfig(dim=16, depth=1, n_heads=4),
+                   mask_ratio=0.75)
+    x = np.random.default_rng(2).normal(size=(2, 32, 32, 3)).astype(
+        np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jax.random.PRNGKey(1))
+
+    sd = export_mae_encoder_to_timm(variables["params"], grid_size=4)
+    assert not any("decoder" in k or "mask_token" in k for k in sd)
+
+    torch_vit = TorchTimmViT(img=32, patch=8, dim=24, depth=2, heads=3)
+    torch_vit.load_state_dict({k: torch.tensor(np.asarray(v))
+                               for k, v in sd.items()}, strict=True)
+    torch_vit.eval()
+    with torch.no_grad():
+        expected = torch_vit(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    got = model.apply(variables, jnp.asarray(x),
+                      method=model.encode_full)
+    np.testing.assert_allclose(np.asarray(got), expected, atol=2e-5,
+                               rtol=1e-4)
