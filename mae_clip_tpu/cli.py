@@ -85,6 +85,9 @@ def cmd_train(args) -> None:
     maybe_initialize_distributed()
     cfg = _load_config(args)
 
+    if getattr(args, "shards", None):
+        return _train_from_shards(args, cfg)
+
     # Data: COCO json pair (reference main.py:87-88) or Flickr captions dir
     # (reference main.py:20-31).
     if args.coco_train:
@@ -177,6 +180,61 @@ def cmd_train(args) -> None:
             batch_size=cfg.batch_size)
 
     history = trainer.fit(train_loader, valid_loader, eval_fn=eval_fn)
+    mngr.wait()
+    print(json.dumps({"final_train_loss": history["train_loss"][-1],
+                      "final_valid_loss": history["valid_loss"][-1],
+                      "best_valid_loss": trainer.best_loss}))
+
+
+def _train_from_shards(args, cfg: Config) -> None:
+    """Streaming training from tar shards (data/shards.py): no global
+    index, no whole-dataset tokenization (fixed_length = max_length), no
+    frozen-text cache (records stream; there is no dataset-wide id
+    table). Local per-host batch = batch_size / process_count."""
+    import jax
+    import numpy as np
+
+    from mae_clip_tpu.data.shards import make_shard_loader
+    from mae_clip_tpu.parallel.mesh import mesh_from_config
+    from mae_clip_tpu.train.checkpoint import CheckpointManager
+    from mae_clip_tpu.train.loop import Trainer
+    from mae_clip_tpu.train.metrics import MetricWriter
+
+    tokenizer = _tokenizer(cfg)
+    model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
+    vit_fast = cfg.model_name.startswith("vit")
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+    if cfg.batch_size % num_hosts:
+        raise SystemExit(f"batch_size {cfg.batch_size} not divisible by "
+                         f"{num_hosts} hosts")
+    local_bs = cfg.batch_size // num_hosts
+
+    def loader(pattern, epoch):
+        return make_shard_loader(
+            pattern, tokenizer, local_bs, fixed_length=cfg.max_length,
+            size=cfg.size, patchify_size=16 if vit_fast else None,
+            raw_uint8=vit_fast, host_id=host_id, num_hosts=num_hosts,
+            seed=cfg.seed, epoch=epoch)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = mesh_from_config(cfg.mesh)
+
+    example = next(loader(args.shards, 0))
+    if example["image"].dtype == np.uint8:
+        example = dict(example, image=np.zeros(example["image"].shape,
+                                               np.float32))
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, mask_rng=jax.random.PRNGKey(1))
+    )(jax.random.PRNGKey(cfg.seed), example)
+
+    mngr = CheckpointManager(cfg.checkpoints)
+    writer = MetricWriter(cfg.logdir)
+    trainer = Trainer(cfg, model, variables["params"], mesh=mesh,
+                      checkpoint_manager=mngr, writer=writer, progress=True)
+    history = trainer.fit(
+        lambda epoch=0: loader(args.shards, epoch),
+        lambda epoch=0: loader(args.shards_val or args.shards, 0))
     mngr.wait()
     print(json.dumps({"final_train_loss": history["train_loss"][-1],
                       "final_valid_loss": history["valid_loss"][-1],
@@ -505,6 +563,29 @@ def cmd_reconstruct(args) -> None:
     print(json.dumps({"out": args.out, "images": len(paths)}))
 
 
+def cmd_data_shards(args) -> None:
+    """Pack a captions dataset into webdataset-style tar shards
+    (data/shards.py) for streaming multi-host training."""
+    import os
+
+    from mae_clip_tpu.data.shards import write_shards
+
+    if args.coco:
+        from mae_clip_tpu.data.coco import get_coco_captions_df
+        df = get_coco_captions_df(args.coco)
+    elif args.captions_dir:
+        import pandas as pd
+        df = pd.read_csv(os.path.join(args.captions_dir, "captions.csv"))
+    else:
+        raise SystemExit("pass --coco or --captions-dir")
+    image_path = args.image_path or ""
+    records = [(os.path.join(image_path, img) if image_path else img, cap)
+               for img, cap in zip(df["image"], df["caption"])]
+    paths = write_shards(records, args.out, shard_size=args.shard_size)
+    print(json.dumps({"shards": len(paths), "records": len(records),
+                      "out": args.out}))
+
+
 def cmd_export_pth(args) -> None:
     """Export a checkpoint to a torch ``.pth`` state_dict:
     * reference-layout CLIP composite (default) — loads into the
@@ -551,6 +632,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--init-from-mae",
                    help="initialize the image tower from a mae-pretrain "
                         "run directory (MAE-paper transfer recipe)")
+    p.add_argument("--shards",
+                   help="tar-shard glob (data-shards output) — streaming "
+                        "multi-host input instead of CSV/COCO")
+    p.add_argument("--shards-val", help="validation shard glob")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("mae-pretrain",
@@ -615,6 +700,16 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("pth")
     p.add_argument("out")
     p.set_defaults(fn=cmd_import_pth)
+
+    p = sub.add_parser("data-shards",
+                       help="pack captions data into webdataset-style "
+                            "tar shards for streaming training")
+    p.add_argument("--coco", help="COCO captions annotation JSON")
+    p.add_argument("--captions-dir", help="dir containing captions.csv")
+    p.add_argument("--image-path", help="prefix for image paths")
+    p.add_argument("--shard-size", type=int, default=1000)
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_data_shards)
 
     p = sub.add_parser("export-pth",
                        help="export a checkpoint to a torch .pth "

@@ -40,6 +40,22 @@ def decode_image(path: str) -> np.ndarray:
         return np.asarray(Image.open(path).convert("RGB"))
 
 
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Decode an in-memory encoded image to RGB uint8 HWC (cv2 path,
+    identical pixels to :func:`decode_image` on the same bytes)."""
+    try:
+        import cv2
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("undecodable image bytes")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        import io as _io
+
+        from PIL import Image
+        return np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
+
+
 def host_preprocess(image: np.ndarray, size: int = 224) -> np.ndarray:
     """Reference-exact: bilinear resize to (size,size), ImageNet normalize.
 

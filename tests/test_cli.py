@@ -104,3 +104,52 @@ def test_cli_train_end_to_end_with_text_cache(tmp_path, capsys):
     assert np.isfinite(result["final_train_loss"])
     assert np.isfinite(result["final_valid_loss"])
     assert any(d.name.isdigit() for d in run_dir.iterdir())
+
+
+def test_cli_data_shards_and_shard_training(tmp_path, capsys):
+    """data-shards packs a captions dir; train --shards streams it."""
+    import json as json_mod
+
+    import cv2
+    import numpy as np
+
+    data = tmp_path / "data"
+    img_dir = data / "Images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    rows = ["id,image,caption"]
+    for i in range(12):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8))
+        rows.append(f"{i},{name},a photo number {i}")
+    (data / "captions.csv").write_text("\n".join(rows))
+
+    shard_dir = tmp_path / "shards"
+    cli.main(["data-shards", "--captions-dir", str(data),
+              "--image-path", str(img_dir), "--shard-size", "5",
+              str(shard_dir)])
+    out = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["shards"] == 3 and out["records"] == 12
+
+    vocab = tmp_path / "vocab.txt"
+    cli.main(["build-vocab", str(data / "captions.csv"), str(vocab),
+              "--vocab-size", "64"])
+    capsys.readouterr()
+
+    run_dir = tmp_path / "run"
+    cli.main([
+        "train", "--shards", str(shard_dir / "shard-*.tar"),
+        "--set", f"vocab_file={vocab}",
+        "--set", "model_name=vit_s16", "--set", "image_embedding=384",
+        "--set", "batch_size=8", "--set", "epochs=1", "--set", "size=32",
+        "--set", "max_length=8", "--set", "compute_dtype=float32",
+        "--set", "mae.enabled=true", "--set", "mae.decoder_dim=16",
+        "--set", "mae.decoder_depth=1", "--set", "mae.decoder_heads=2",
+        "--set", f"checkpoints={run_dir}",
+        "--set", f"logdir={tmp_path / 'logs'}",
+    ])
+    result = json_mod.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(result["final_train_loss"])
+    assert any(d.name.isdigit() for d in run_dir.iterdir())
