@@ -131,7 +131,21 @@ def make_shard_loader(pattern: str, tokenizer: WordPieceTokenizer,
     from mae_clip_tpu.data.images import host_preprocess, patchify_host
     from mae_clip_tpu.data.pipeline import pad_token_batch
 
+    use_native = False
+    if raw_uint8 and patchify_size:
+        from mae_clip_tpu.data import native_images
+        use_native = native_images.native_available()
+
     def preprocess(img_bytes: bytes) -> np.ndarray:
+        if use_native:
+            # C++ fused JPEG decode -> resize -> patchify
+            # (native/imagepipe.cpp) straight from the tar member bytes —
+            # no tempfile, no python decode.
+            from mae_clip_tpu.data import native_images
+            out = native_images.jpeg_to_patches(img_bytes, size,
+                                                patchify_size)
+            if out is not None:
+                return out
         img = decode_image_bytes(img_bytes)
         if raw_uint8:
             import cv2

@@ -108,3 +108,50 @@ def test_multi_host_streams_cover_all_records(dataset):
                                    host_id=h, num_hosts=2, seed=7):
             counts += int(b["valid"].sum())
     assert counts == 23
+
+
+def test_shard_loader_native_patchify_path(tmp_path):
+    """raw_uint8+patchify shard batches use the native C++ fused decoder
+    when built, within JPEG-decoder tolerance of the python path."""
+    import cv2
+
+    from mae_clip_tpu.data import native_images
+
+    if not native_images.native_available():
+        pytest.skip("native imagepipe not built")
+    rng = np.random.default_rng(4)
+    records = []
+    for i in range(4):
+        p = tmp_path / f"{i}.jpg"
+        # Smooth gradient + mild noise: pure noise is the worst case for
+        # the native DCT-scaled decode and not representative of photos.
+        yy, xx = np.mgrid[0:32, 0:32]
+        img = np.stack([yy * 8, xx * 8, (yy + xx) * 4], -1).astype(float)
+        img += rng.normal(0, 4, size=img.shape)
+        cv2.imwrite(str(p), np.clip(img, 0, 255).astype(np.uint8))
+        records.append((str(p), f"cap {i}"))
+    pattern = str(tmp_path / "s" / "shard-*.tar")
+    write_shards(records, str(tmp_path / "s"), shard_size=4)
+    tok = WordPieceTokenizer(build_vocab([c for _, c in records],
+                                         vocab_size=32, min_frequency=1))
+
+    native = next(make_shard_loader(pattern, tok, batch_size=4,
+                                    fixed_length=4, size=16,
+                                    patchify_size=8, raw_uint8=True))
+    assert native["image"].dtype == np.uint8
+    assert native["image"].shape == (4, 4, 8 * 8 * 3)
+    # Python-path reference on the same decoded bytes.
+    import mae_clip_tpu.data.shards as shards_mod
+    orig = native_images.native_available
+    try:
+        native_images.native_available = lambda: False
+        python = next(make_shard_loader(pattern, tok, batch_size=4,
+                                        fixed_length=4, size=16,
+                                        patchify_size=8, raw_uint8=True))
+    finally:
+        native_images.native_available = orig
+    diff = np.abs(native["image"].astype(int) - python["image"].astype(int))
+    # Same budget as tests/test_native_images.py: DCT-scaled decode
+    # resamples slightly differently from decode-then-resize.
+    assert np.mean(diff) < 3.0 and np.percentile(diff, 99) <= 12, (
+        np.mean(diff), np.percentile(diff, 99))
