@@ -62,13 +62,25 @@ def test_native_matches_python_batch():
 
 
 def test_native_is_faster_on_bulk():
-    """Sanity: the native path should not be slower on a large batch."""
+    """Sanity: the native path should not be slower on a large batch.
+
+    Best-of-3 per arm: single timings flake under co-tenant load (this
+    suite shares one CPU core with background jobs)."""
     import time
     vocab = build_vocab(CORPUS, vocab_size=128, min_frequency=1)
     texts = CORPUS * 500   # 4k captions
     py = WordPieceTokenizer(vocab, use_native="never")
     nat = WordPieceTokenizer(vocab, use_native="always")
-    t0 = time.perf_counter(); py.encode_batch(texts); t_py = time.perf_counter() - t0
-    t0 = time.perf_counter(); nat.encode_batch(texts); t_nat = time.perf_counter() - t0
+
+    def best_of(fn, n=3):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_py = best_of(lambda: py.encode_batch(texts))
+    t_nat = best_of(lambda: nat.encode_batch(texts))
     # Loose bound: native must be at least ~1.3x faster.
     assert t_nat < t_py / 1.3, (t_py, t_nat)
