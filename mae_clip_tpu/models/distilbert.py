@@ -93,9 +93,17 @@ class MultiHeadSelfAttention(nn.Module):
         q = split(dense("q_lin")(x))
         k = split(dense("k_lin")(x))
         v = split(dense("v_lin")(x))
+        # HF train-mode attention dropout (modeling_distilbert.py applies
+        # nn.Dropout(config.attention_dropout) to the softmax'd weights);
+        # the reference's text tower inherits it via modules.py:38.
+        drop_rng = None
+        if not deterministic and c.attention_dropout > 0.0:
+            drop_rng = self.make_rng("dropout")
         ctx = multi_head_attention(
             q, k, v, key_valid=key_valid, sm_scale=1.0 / dh ** 0.5,
-            impl=self.attn_impl, interpret=self.attn_interpret)
+            impl=self.attn_impl, interpret=self.attn_interpret,
+            dropout_rate=0.0 if deterministic else c.attention_dropout,
+            dropout_rng=drop_rng)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, c.dim)
         return dense("out_lin")(ctx)
 

@@ -41,11 +41,17 @@ def attention_xla(
     v: jax.Array,
     key_valid: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Reference attention. Shapes: q/k/v (B, H, S, Dh); key_valid (B, Sk).
 
     Matches HF DistilBERT masking: invalid-key scores are replaced with the
-    dtype minimum (not added), then softmax'd in fp32.
+    dtype minimum (not added), then softmax'd in fp32. When
+    ``dropout_rate > 0`` and a ``dropout_rng`` is given, inverted dropout is
+    applied to the post-softmax attention probabilities — HF DistilBERT's
+    train-mode ``attention_dropout`` placement (modeling_distilbert.py's
+    ``MultiHeadSelfAttention``: ``weights = dropout(softmax(scores))``).
     """
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / jnp.sqrt(d).astype(q.dtype)
@@ -55,6 +61,10 @@ def attention_xla(
         neg = jnp.finfo(jnp.float32).min
         scores = jnp.where(key_valid[:, None, None, :], scores, neg)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
                       preferred_element_type=q.dtype)
 
@@ -485,6 +495,8 @@ def multi_head_attention(
     sm_scale: Optional[float] = None,
     impl: str = "xla",
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch between the XLA and Pallas implementations.
 
@@ -495,18 +507,27 @@ def multi_head_attention(
     ~2048 the current whole-sequence-per-program kernel exceeds VMEM
     comfort and XLA wins again (a k-blocked HBM-DMA variant is the
     future fix). Policy: pallas iff 256 <= seq_k <= 1024 on TPU.
+
+    Attention-probability dropout (``dropout_rate > 0`` with a rng) forces
+    the XLA path: the Pallas kernels never materialize the probability
+    matrix, and train-mode dropout only arises in the HF-parity text tower
+    whose short sequences resolve to XLA anyway.
     """
     d = q.shape[-1]
     scale = float(sm_scale) if sm_scale is not None else float(1.0 / d ** 0.5)
-    if impl in ("auto", "pallas_qkv"):
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if impl in ("auto", "pallas_qkv") or use_dropout:
         # "pallas_qkv" needs the packed (B, S, 3*H*Dh) layout; callers with
         # separate q/k/v (the HF-structured text tower) resolve it like auto.
         import jax as _jax
         on_tpu = _jax.default_backend() == "tpu"
-        impl = ("pallas" if (on_tpu and 256 <= k.shape[2] <= 1024)
+        impl = ("pallas" if (on_tpu and 256 <= k.shape[2] <= 1024
+                             and not use_dropout)
                 else "xla")
     if impl == "xla":
-        return attention_xla(q, k, v, key_valid, scale)
+        return attention_xla(q, k, v, key_valid, scale,
+                             dropout_rate=dropout_rate,
+                             dropout_rng=dropout_rng)
     if impl == "pallas":
         kv = None if key_valid is None else key_valid
         return flash_attention(q, k, v, kv, scale, 128, 128, interpret)

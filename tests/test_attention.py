@@ -116,3 +116,53 @@ def test_qkv_packed_auto_resolves_xla_off_tpu():
     out_auto = fused_qkv_attention(qkv, 2, impl="auto")
     out_xla = fused_qkv_attention(qkv, 2, impl="xla")
     np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_xla))
+
+
+def test_attention_dropout_statistics():
+    """Post-softmax probability dropout (HF attention_dropout placement):
+    inverted scaling preserves the expectation of the context, and distinct
+    rngs give distinct outputs."""
+    import jax
+    from mae_clip_tpu.ops.attention import attention_xla
+
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(1, 2, 6, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 6, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, 6, 8)).astype(np.float32))
+
+    base = np.asarray(attention_xla(q, k, v))
+    d1 = attention_xla(q, k, v, dropout_rate=0.5,
+                       dropout_rng=jax.random.PRNGKey(0))
+    d2 = attention_xla(q, k, v, dropout_rate=0.5,
+                       dropout_rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(d1), base)
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+
+    # E[dropout(probs)/keep] == probs => mean context over draws ~= base.
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(42), n)
+    mean = np.asarray(jax.jit(lambda ks: jnp.mean(jax.vmap(
+        lambda key: attention_xla(q, k, v, dropout_rate=0.5,
+                                  dropout_rng=key))(ks), axis=0))(keys))
+    np.testing.assert_allclose(mean, base, atol=0.2)
+
+
+def test_attention_dropout_forces_xla_dispatch():
+    """multi_head_attention with active dropout must not route to a Pallas
+    kernel (they never materialize the probability matrix); rate=0 or no rng
+    keeps the requested impl path byte-identical."""
+    import jax
+    from mae_clip_tpu.ops.attention import attention_xla, multi_head_attention
+
+    rng = np.random.default_rng(10)
+    q = jnp.asarray(rng.normal(size=(1, 2, 5, 8)).astype(np.float32))
+    k, v = q + 1, q - 1
+    out = multi_head_attention(q, k, v, impl="auto", dropout_rate=0.3,
+                               dropout_rng=jax.random.PRNGKey(0))
+    expect = attention_xla(q, k, v, dropout_rate=0.3,
+                           dropout_rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect))
+    # Inactive dropout (no rng) leaves the deterministic path untouched.
+    out0 = multi_head_attention(q, k, v, impl="xla", dropout_rate=0.3)
+    np.testing.assert_allclose(np.asarray(out0),
+                               np.asarray(attention_xla(q, k, v)))

@@ -73,3 +73,37 @@ def test_padding_mask_blocks_attention():
     out2 = ours.apply({"params": params}, jnp.array(ids2), jnp.array(mask))
     np.testing.assert_allclose(np.asarray(out1[:, :6]), np.asarray(out2[:, :6]),
                                atol=1e-6)
+
+
+def test_train_mode_attention_dropout_active():
+    """HF DistilBERT applies nn.Dropout(attention_dropout) to the softmax'd
+    attention weights in train mode (modeling_distilbert.py) — the tower the
+    reference delegates to at modules.py:38. With every OTHER dropout zeroed,
+    train-mode outputs must vary with the dropout rng and differ from eval
+    mode; attention_dropout=0 restores rng-independence."""
+    import jax
+
+    cfg_drop = DistilBertConfig(**SMALL, dropout=0.0, attention_dropout=0.5)
+    model = DistilBertModel(cfg_drop)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, SMALL["vocab_size"], (2, 9)).astype(np.int32))
+    mask = jnp.ones((2, 9), dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+
+    def run(cfg, key, det):
+        m = DistilBertModel(cfg)
+        return np.asarray(m.apply(
+            {"params": params}, ids, mask, deterministic=det,
+            rngs={} if det else {"dropout": jax.random.PRNGKey(key)}))
+
+    eval_out = run(cfg_drop, 0, det=True)
+    t1 = run(cfg_drop, 1, det=False)
+    t2 = run(cfg_drop, 2, det=False)
+    assert not np.allclose(t1, eval_out)
+    assert not np.allclose(t1, t2)
+
+    cfg_nodrop = DistilBertConfig(**SMALL, dropout=0.0, attention_dropout=0.0)
+    n1 = run(cfg_nodrop, 1, det=False)
+    n2 = run(cfg_nodrop, 2, det=False)
+    np.testing.assert_allclose(n1, n2, atol=1e-6)
+    np.testing.assert_allclose(n1, eval_out, atol=1e-6)
