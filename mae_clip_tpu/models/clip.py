@@ -89,7 +89,9 @@ class CLIPModel(nn.Module):
     text_config: DistilBertConfig = DistilBertConfig()
     attn_impl: str = "xla"
     attn_interpret: bool = False
-    clip_from_masked: bool = True
+    # None = inherit cfg.mae.clip_from_masked (the config knob); an explicit
+    # bool here overrides it (tests / programmatic use).
+    clip_from_masked: Optional[bool] = None
     # Explicit ViT geometry override (tests / custom towers); defaults to
     # the geometry implied by cfg.model_name.
     vit_config: Optional[ViTConfig] = None
@@ -163,7 +165,8 @@ class CLIPModel(nn.Module):
     def __call__(self, batch: Dict[str, jax.Array], train: bool = False,
                  mask_rng: Optional[jax.Array] = None,
                  loss_axis_name: Optional[str] = None,
-                 compute_contrastive: bool = True) -> Dict[str, jax.Array]:
+                 compute_contrastive: bool = True,
+                 mae_masking=None) -> Dict[str, jax.Array]:
         """Forward pass producing embeddings + losses.
 
         Args:
@@ -176,6 +179,8 @@ class CLIPModel(nn.Module):
           compute_contrastive: if False, skip the contrastive loss (the
             caller computes it, e.g. under shard_map in the train step);
             the (purely local) MAE loss is still returned.
+          mae_masking: optional precomputed MaskingResult rows (microbatch
+            slices of a full-batch draw; see MAEViT.__call__).
         """
         cfg = self.cfg
         valid = batch.get("valid")
@@ -187,12 +192,22 @@ class CLIPModel(nn.Module):
             if mask_rng is None:
                 mask_rng = jax.random.PRNGKey(0)
             mae_out = self.image_encoder(batch["image"], mask_rng,
-                                         deterministic=not train)
-            image_features = mae_out.pooled
-            if not self.clip_from_masked:
-                raise NotImplementedError(
-                    "separate full-sequence CLIP pass with MAE: use "
-                    "clip_from_masked=True (FLIP recipe)")
+                                         deterministic=not train,
+                                         masking=mae_masking)
+            from_masked = (self.clip_from_masked
+                           if self.clip_from_masked is not None
+                           else cfg.mae.clip_from_masked)
+            if from_masked:
+                # FLIP recipe: one shared visible-patch (25%) pass feeds
+                # both objectives — the throughput-optimal configuration.
+                image_features = mae_out.pooled
+            else:
+                # Classic joint objective: the contrastive branch sees a
+                # SEPARATE full-sequence pass over the same tower params
+                # (identical to what inference's encode_image runs); the
+                # masked pass above feeds only the MAE reconstruction loss.
+                image_features = self.image_encoder.encode_full(
+                    batch["image"], deterministic=not train)
         else:
             image_features = self.image_encoder(batch["image"],
                                                 deterministic=not train)

@@ -283,3 +283,52 @@ def test_cross_decoder_in_clip_train_step():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_clip_from_masked_false_uses_full_sequence_features():
+    """Classic (non-FLIP) joint objective: the contrastive branch runs a
+    separate FULL-sequence pass, so in eval mode image_embeddings must equal
+    projecting encode_image's features exactly — independent of the mask rng
+    — while the MAE loss still comes from the masked pass."""
+    from mae_clip_tpu.config import Config, MAEConfig
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=32,
+                 compute_dtype="float32", max_length=16,
+                 mae=MAEConfig(enabled=True, mask_ratio=0.75, decoder_dim=16,
+                               decoder_depth=1, decoder_heads=2,
+                               clip_from_masked=False))
+    text_cfg = DistilBertConfig(vocab_size=64, dim=16, n_layers=1, n_heads=2,
+                                hidden_dim=32, max_position_embeddings=32)
+    model = CLIPModel(cfg, text_config=text_cfg, vit_config=TINY)
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.array(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+             "input_ids": jnp.array(rng.integers(0, 64, (2, 8)).astype(np.int32)),
+             "attention_mask": jnp.ones((2, 8), dtype=jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch,
+                           mask_rng=jax.random.PRNGKey(1))
+
+    out_a = model.apply(variables, batch, mask_rng=jax.random.PRNGKey(2))
+    out_b = model.apply(variables, batch, mask_rng=jax.random.PRNGKey(3))
+    # Contrastive features are mask-independent (full pass)...
+    np.testing.assert_allclose(np.asarray(out_a["image_embeddings"]),
+                               np.asarray(out_b["image_embeddings"]),
+                               atol=1e-6)
+    # ...and equal the inference encode_image -> projection path.
+    feats = model.apply(variables, batch["image"], method=model.encode_image)
+    proj = model.apply(variables, feats, method=model.project_image)
+    np.testing.assert_allclose(np.asarray(out_a["image_embeddings"]),
+                               np.asarray(proj), atol=1e-6)
+    # The masked pass still drives reconstruction: mae_loss varies with rng.
+    assert "mae_loss" in out_a
+    assert float(out_a["mae_loss"]) != float(out_b["mae_loss"])
+
+    # The FLIP default on identical params differs (masked-pass features).
+    flip = CLIPModel(cfg.replace(mae=cfg.mae.__class__(
+        enabled=True, mask_ratio=0.75, decoder_dim=16, decoder_depth=1,
+        decoder_heads=2, clip_from_masked=True)),
+        text_config=text_cfg, vit_config=TINY)
+    out_f = flip.apply(variables, batch, mask_rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(out_f["image_embeddings"]),
+                           np.asarray(out_a["image_embeddings"]))
