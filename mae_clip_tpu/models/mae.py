@@ -197,13 +197,21 @@ class MAEViT(nn.Module):
 
     # ------------------------------------------------------------------
     def __call__(self, images: jax.Array, mask_rng: jax.Array,
-                 deterministic: bool = True) -> MAEOutput:
+                 deterministic: bool = True,
+                 masking=None) -> MAEOutput:
+        """``masking``: optional precomputed :class:`ops.masking.
+        MaskingResult` rows for this batch — callers that split one batch
+        into microbatches (GradCache accumulation, train/loop.py) draw the
+        full-batch masking once and pass row slices here, so the union of
+        microbatch passes is bit-identical to one giant-batch pass."""
         c = self.config
         b = images.shape[0]
         target = (images if images.ndim == 3
                   else patchify(images, c.patch_size))
 
-        masking = random_masking(mask_rng, b, c.num_patches, self.mask_ratio)
+        if masking is None:
+            masking = random_masking(mask_rng, b, c.num_patches,
+                                     self.mask_ratio)
         # Embed ONLY the visible patches (gather-then-project == the MAE
         # paper's project-then-gather, with 1/(1-mask_ratio) less matmul
         # work; optionally as one fused Pallas kernel).

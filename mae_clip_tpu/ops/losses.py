@@ -241,7 +241,7 @@ def global_clip_soft_ce_loss_chunked(
     def _varying(x):
         # Mark the scan carry as varying over the data axis (shard_map VMA
         # tracking): the body mixes it with sharded operands.
-        return jax.lax.pvary(x, axis_name)
+        return jax.lax.pcast(x, axis_name, to="varying")
 
     init = tuple((_varying(jnp.full((b_local,), -jnp.inf)),
                   _varying(jnp.zeros((b_local,))))

@@ -69,7 +69,8 @@ def _clip_loss_fn(cfg: Config, mesh: Optional[Mesh]) -> Callable:
     return global_loss
 
 
-def _forward(model, variables, batch, train, rng, cfg: Config):
+def _forward(model, variables, batch, train, rng, cfg: Config,
+             mae_masking=None):
     """Run the model, returning (outputs, new_batch_stats)."""
     if batch["image"].dtype == jnp.uint8:
         # Fused on-device preprocessing: the loader ships compact uint8
@@ -85,7 +86,8 @@ def _forward(model, variables, batch, train, rng, cfg: Config):
     if cfg.mae.enabled:
         mask_rng = jax.random.fold_in(rng, 2)
     mutable = ["batch_stats"] if "batch_stats" in variables and train else False
-    kwargs = dict(train=train, mask_rng=mask_rng, compute_contrastive=False)
+    kwargs = dict(train=train, mask_rng=mask_rng, compute_contrastive=False,
+                  mae_masking=mae_masking)
     if mutable:
         out, updates = model.apply(variables, batch, rngs=rngs,
                                    mutable=mutable, **kwargs)
@@ -95,16 +97,28 @@ def _forward(model, variables, batch, train, rng, cfg: Config):
 
 
 def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
-                    accum_steps: int = 1):
+                    accum_steps: int = 1,
+                    true_global_contrastive: bool = True):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
     ``accum_steps > 1`` enables gradient accumulation: the batch is split
     into that many microbatches scanned sequentially (``lax.scan``), grads
-    averaged, ONE optimizer update — activation memory drops by the same
-    factor, enabling 32k-style global batches on few chips. NOTE: with
-    accumulation the contrastive loss is computed per-microbatch (the
-    standard approximation), so the effective contrastive batch is the
-    microbatch (x data-parallel size when global_contrastive is on).
+    accumulated, ONE optimizer update — activation memory drops by the same
+    factor, enabling 32k-style global batches on few chips.
+
+    With ``true_global_contrastive=True`` (default) accumulation uses the
+    GradCache two-pass recipe (Gao et al., arXiv:2101.06983; cf. "Breaking
+    the Memory Barrier", arXiv:2410.17243): (1) embed every microbatch with
+    no tower gradients kept, (2) compute the contrastive loss — and its
+    gradients w.r.t. the cached embeddings — over the FULL batch at once
+    (chunked + all-gathered over the mesh when global_contrastive is on),
+    (3) re-run each microbatch under ``jax.vjp`` injecting those embedding
+    cotangents. Loss and parameter gradients are EXACTLY those of a single
+    giant-batch step (the MAE masking is drawn once for the full batch and
+    sliced per microbatch), at one extra forward pass (~1.5x step FLOPs)
+    but O(microbatch) activation memory — so the "32k batch" recipe is a
+    true 32k x 32k contrastive objective. ``False`` restores the cheaper
+    per-microbatch approximation (contrastive batch == microbatch x DP).
     """
     clip_loss_fn = _clip_loss_fn(cfg, mesh)
 
@@ -124,6 +138,113 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         metrics["loss"] = loss
         return loss, (metrics, new_stats)
 
+    def _microbatches(batch):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                + x.shape[1:]), batch)
+
+    def _legacy_accum(state, batch, rng):
+        """Per-microbatch contrastive approximation (pre-GradCache)."""
+        micro = _microbatches(batch)
+
+        def scan_body(carry, mb):
+            acc_grads, acc_metrics, i = carry
+            mb_rng = jax.random.fold_in(rng, i)
+            (_, (metrics, _)), grads = jax.value_and_grad(
+                loss_for, argnums=3, has_aux=True)(state, mb, mb_rng,
+                                                   state.params)
+            acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+            acc_metrics = jax.tree_util.tree_map(jnp.add, acc_metrics,
+                                                 metrics)
+            return (acc_grads, acc_metrics, i + 1), None
+
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        proto_m = {"clip_loss": 0.0, "loss": 0.0}
+        if cfg.mae.enabled:
+            proto_m["mae_loss"] = 0.0
+        zeros_m = jax.tree_util.tree_map(
+            lambda _: jnp.zeros((), jnp.float32), proto_m)
+        (grads, metrics, _), _ = jax.lax.scan(
+            scan_body, (zeros_g, zeros_m, jnp.zeros((), jnp.int32)), micro)
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+        metrics = jax.tree_util.tree_map(lambda m: m / accum_steps, metrics)
+        return grads, metrics
+
+    def _gradcache_accum(state, batch, rng):
+        """GradCache two-pass accumulation: loss AND grads bit-match the
+        giant-batch step (same full-batch masking rng recipe as
+        ``_forward``; microbatch denominators are equal because the masked
+        count per sample is static, so mean-of-means == global mean)."""
+        batch_size = batch["image"].shape[0]
+        mae_masking = None
+        if cfg.mae.enabled:
+            from mae_clip_tpu.models.clip import _resolved_vit_config
+            from mae_clip_tpu.ops.masking import random_masking
+            vcfg = _resolved_vit_config(cfg, getattr(model, "vit_config",
+                                                     None))
+            mae_masking = random_masking(
+                jax.random.fold_in(rng, 2), batch_size, vcfg.num_patches,
+                cfg.mae.mask_ratio)
+        micro = _microbatches(batch)
+        micro_masking = (None if mae_masking is None
+                         else _microbatches(mae_masking))
+
+        def embed(params, mb, mbm, i):
+            # Per-microbatch dropout rng (identical between the two passes,
+            # a GradCache requirement; masking comes precomputed, so the
+            # fold only decorrelates dropout across microbatches).
+            mb_rng = jax.random.fold_in(rng, 16 + i)
+            out, _ = _forward(model, {"params": params}, mb, True, mb_rng,
+                              cfg, mae_masking=mbm)
+            mae = (out["mae_loss"] if "mae_loss" in out
+                   else jnp.zeros((), jnp.float32))
+            return out["image_embeddings"], out["text_embeddings"], mae
+
+        idx = jnp.arange(accum_steps, dtype=jnp.int32)
+
+        # Pass 1: embeddings only; activations are free to die (no grad).
+        def scan_embed(_, xs):
+            mb, mbm, i = xs
+            img, txt, mae = embed(state.params, mb, mbm, i)
+            return None, (img, txt, mae)
+
+        _, (imgs, txts, maes) = jax.lax.scan(
+            scan_embed, None, (micro, micro_masking, idx))
+        emb_dim = imgs.shape[-1]
+        img_all = imgs.reshape(batch_size, emb_dim)
+        txt_all = txts.reshape(batch_size, emb_dim)
+
+        # Full-batch contrastive loss + its embedding cotangents.
+        valid_all = batch.get("valid")
+        clip_loss, (d_img, d_txt) = jax.value_and_grad(
+            lambda i, t: clip_loss_fn(i, t, valid_all),
+            argnums=(0, 1))(img_all, txt_all)
+
+        # Pass 2: re-run each microbatch injecting the cached cotangents.
+        d_img_m = d_img.reshape(imgs.shape).astype(imgs.dtype)
+        d_txt_m = d_txt.reshape(txts.shape).astype(txts.dtype)
+        mae_cot = jnp.asarray(
+            (cfg.mae.loss_weight / accum_steps) if cfg.mae.enabled else 0.0,
+            jnp.float32)
+
+        def scan_grads(acc, xs):
+            mb, mbm, di, dt, i = xs
+            _, vjp_fn = jax.vjp(lambda p: embed(p, mb, mbm, i), state.params)
+            (g,) = vjp_fn((di, dt, mae_cot))
+            return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        grads, _ = jax.lax.scan(
+            scan_grads, zeros_g,
+            (micro, micro_masking, d_img_m, d_txt_m, idx))
+
+        metrics = {"clip_loss": clip_loss, "loss": clip_loss}
+        if cfg.mae.enabled:
+            mae_loss = jnp.mean(maes)
+            metrics["mae_loss"] = mae_loss
+            metrics["loss"] = clip_loss + cfg.mae.loss_weight * mae_loss
+        return grads, metrics
+
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]
                 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(state.rng, state.step)
@@ -137,34 +258,11 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
                 loss_for, argnums=3, has_aux=True)(state, batch, rng,
                                                    state.params)
         else:
-            micro = jax.tree_util.tree_map(
-                lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
-                                    + x.shape[1:]), batch)
-
-            def scan_body(carry, mb):
-                acc_grads, acc_metrics, i = carry
-                mb_rng = jax.random.fold_in(rng, i)
-                (_, (metrics, _)), grads = jax.value_and_grad(
-                    loss_for, argnums=3, has_aux=True)(state, mb, mb_rng,
-                                                       state.params)
-                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-                acc_metrics = jax.tree_util.tree_map(jnp.add, acc_metrics,
-                                                     metrics)
-                return (acc_grads, acc_metrics, i + 1), None
-
-            zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            proto_m = {"clip_loss": 0.0, "loss": 0.0}
-            if cfg.mae.enabled:
-                proto_m["mae_loss"] = 0.0
-            zeros_m = jax.tree_util.tree_map(
-                lambda _: jnp.zeros((), jnp.float32), proto_m)
-            (grads, metrics, _), _ = jax.lax.scan(
-                scan_body, (zeros_g, zeros_m, jnp.zeros((), jnp.int32)),
-                micro)
-            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
-            metrics = jax.tree_util.tree_map(lambda m: m / accum_steps,
-                                             metrics)
             new_stats = state.batch_stats
+            if true_global_contrastive:
+                grads, metrics = _gradcache_accum(state, batch, rng)
+            else:
+                grads, metrics = _legacy_accum(state, batch, rng)
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
@@ -429,17 +527,39 @@ class Trainer:
         meter = AvgMeter("train_loss")
         self.throughput.start()
         bar = self._progress_bar(self._device_prefetch(loader), "train")
+        # Device->host value fetches are the only true barrier on a remote
+        # TPU and cost a full round-trip each; fetching the loss per step
+        # (the reference's loss.item(), main.py:64) would serialize the
+        # pipeline. Keep losses ON DEVICE and drain every
+        # cfg.metric_fetch_every steps — unless something genuinely needs
+        # the scalar every batch (batch-mode scheduler, tqdm postfix).
+        per_step = (self.cfg.scheduler_step == "batch" or self.progress)
+        fetch_every = 1 if per_step else max(1, self.cfg.metric_fetch_every)
+        pending = []                    # [(device_loss_scalar, count), ...]
+        last = {"loss": 0.0}
+
+        def drain():
+            for dev_loss, count in pending:
+                last["loss"] = float(dev_loss)
+                meter.update(last["loss"], count)
+            pending.clear()
+
         for raw, batch in bar:
             count = self._count(raw)
             self.state, metrics = self.train_step(self.state, batch)
+            pending.append((metrics["loss"], count))
+            if len(pending) >= fetch_every:
+                drain()
             if self.cfg.scheduler_step == "batch":
-                self._scheduler_step(float(metrics["loss"]))
-            meter.update(float(metrics["loss"]), count)
+                # fetch_every == 1 here: drain() above just ran, so
+                # last["loss"] is THIS step's loss (reference main.py:60-61).
+                self._scheduler_step(last["loss"])
             self.throughput.update(count)
             if self.progress and hasattr(bar, "set_postfix"):
                 bar.set_postfix(train_loss=meter.avg,
                                 lr=current_lr(self.cfg, self.state.opt_state,
                                               int(self.state.step)))
+        drain()
         return meter
 
     def valid_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
@@ -481,11 +601,20 @@ class Trainer:
     @staticmethod
     def _call_loader(fn: Callable, epoch: int):
         """Loader factories may take the epoch index (for seeded shuffles)
-        or no arguments."""
+        or no arguments. Dispatch on the signature — catching TypeError
+        from the call itself would swallow TypeErrors raised inside the
+        user's factory and silently re-dispatch."""
+        import inspect
+
         try:
+            sig = inspect.signature(fn)
+        except (TypeError, ValueError):   # uninspectable (builtin/C) callable
             return fn(epoch)
+        try:
+            sig.bind(epoch)
         except TypeError:
             return fn()
+        return fn(epoch)
 
     def fit(self, train_loader_fn: Callable,
             valid_loader_fn: Callable,

@@ -168,7 +168,7 @@ def test_large_batch_mesh_recipe_end_to_end():
 
     cfg = large_batch_mesh_config(
         batch_size=32, size=16, max_length=8, compute_dtype="float32",
-        loss_chunk_size=4,
+        loss_chunk_size=4, dropout=0.0,
         mae=MAEConfig(enabled=True, mask_ratio=0.75, decoder_dim=16,
                       decoder_depth=1, decoder_heads=2))
     assert cfg.remat and cfg.global_contrastive and cfg.loss_chunk_size
@@ -191,12 +191,28 @@ def test_large_batch_mesh_recipe_end_to_end():
     variables = model.init(jax.random.PRNGKey(0), batch,
                            mask_rng=jax.random.PRNGKey(1))
     tx = make_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
     mesh = create_mesh(8, 1)
+
+    # GradCache accumulation (the default): over the mesh + chunked global
+    # loss, the accumulated step's loss must EQUAL the giant-batch step's —
+    # the recipe's "32k batch" is the true contrastive batch, not the
+    # microbatch (dropout=0 above so the two steps' dropout rng recipes
+    # can't differ).
+    state_g = TrainState.create(copy(variables["params"]), tx,
+                                jax.random.PRNGKey(2))
+    _, m_giant = make_train_step(model, tx, cfg, mesh=mesh)(state_g, batch)
+
+    state = TrainState.create(copy(variables["params"]), tx,
+                              jax.random.PRNGKey(2))
     step = make_train_step(model, tx, cfg, mesh=mesh, accum_steps=2)
     losses = []
-    for _ in range(6):
+    for i in range(6):
         state, metrics = step(state, batch)
+        if i == 0:
+            np.testing.assert_allclose(float(metrics["clip_loss"]),
+                                       float(m_giant["clip_loss"]),
+                                       rtol=1e-5)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]

@@ -319,8 +319,9 @@ def test_trainer_eval_hook():
 
 
 def test_gradient_accumulation_runs_and_approximates():
-    """accum_steps=2: runs, loss finite, grads close to the mean of the two
-    microbatch grads (contrastive loss is per-microbatch by design)."""
+    """Legacy accumulation mode (true_global_contrastive=False): runs, loss
+    finite, loss equals the mean of the per-microbatch losses (contrastive
+    batch == microbatch in this mode)."""
     cfg = tiny_cfg()
     model, variables, batch = build(cfg)
     tx = make_optimizer(cfg, variables["params"])
@@ -328,7 +329,8 @@ def test_gradient_accumulation_runs_and_approximates():
 
     state_a = TrainState.create(copy(variables["params"]), tx,
                                 jax.random.PRNGKey(2))
-    step_acc = make_train_step(model, tx, cfg, accum_steps=2)
+    step_acc = make_train_step(model, tx, cfg, accum_steps=2,
+                               true_global_contrastive=False)
     state_a, m = step_acc(state_a, batch)
     assert np.isfinite(float(m["loss"]))
     assert int(state_a.step) == 1
@@ -349,3 +351,82 @@ def test_gradient_accumulation_runs_and_approximates():
             out["image_embeddings"], out["text_embeddings"],
             cfg.temperature, mb["valid"])))
     np.testing.assert_allclose(float(m["loss"]), np.mean(losses), rtol=1e-5)
+
+
+def _gradcache_cfg():
+    return tiny_cfg(dropout=0.0,
+                    mae=MAEConfig(enabled=True, mask_ratio=0.75,
+                                  decoder_dim=16, decoder_depth=1,
+                                  decoder_heads=2))
+
+
+def test_gradcache_accumulation_matches_giant_batch():
+    """GradCache accumulation (the default): loss, all metrics AND the
+    updated parameters are EXACTLY those of a single giant-batch step —
+    the full batch is the contrastive batch, the MAE masking is the same
+    full-batch draw, microbatch MAE means compose exactly (equal static
+    denominators). Dropout is off so rng bookkeeping can't hide behind it."""
+    import optax
+
+    cfg = _gradcache_cfg()
+    model, variables, batch = build(cfg)
+    # Plain SGD(lr=1): the param delta IS the gradient, so the comparison
+    # checks grads directly. (Adam would amplify fp reduction-order noise
+    # on near-zero grads into +-lr sign flips — see the mesh test note.)
+    tx = optax.sgd(1.0)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    state_g = TrainState.create(copy(variables["params"]), tx,
+                                jax.random.PRNGKey(2))
+    state_a = TrainState.create(copy(variables["params"]), tx,
+                                jax.random.PRNGKey(2))
+    step_g = make_train_step(model, tx, cfg)
+    step_a = make_train_step(model, tx, cfg, accum_steps=4)
+
+    for _ in range(2):     # two steps: state must not drift either
+        state_g, mg = step_g(state_g, batch)
+        state_a, ma = step_a(state_a, batch)
+        for key in mg:
+            np.testing.assert_allclose(float(ma[key]), float(mg[key]),
+                                       rtol=2e-6, err_msg=key)
+    leaves_g = jax.tree_util.tree_leaves(state_g.params)
+    leaves_a = jax.tree_util.tree_leaves(state_a.params)
+    for a, g in zip(leaves_a, leaves_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(g), atol=1e-5)
+
+
+def test_gradcache_differs_from_legacy_approximation():
+    """The per-microbatch approximation optimizes a DIFFERENT objective
+    (contrastive batch == microbatch): its loss must not equal the
+    giant-batch loss on generic data — guarding against the GradCache path
+    silently degrading to the approximation."""
+    cfg = _gradcache_cfg()
+    model, variables, batch = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    make = lambda: TrainState.create(copy(variables["params"]), tx,
+                                     jax.random.PRNGKey(2))
+    _, m_true = make_train_step(model, tx, cfg, accum_steps=4)(make(), batch)
+    _, m_leg = make_train_step(model, tx, cfg, accum_steps=4,
+                               true_global_contrastive=False)(make(), batch)
+    assert abs(float(m_true["clip_loss"]) - float(m_leg["clip_loss"])) > 1e-4
+
+
+def test_metric_fetch_batching_matches_per_step():
+    """Deferred (device-side) metric draining must produce the identical
+    count-weighted epoch meter as per-step fetching — it only changes WHEN
+    the scalars cross to host, never what is averaged."""
+    rng_seed = 11
+    results = {}
+    for fetch_every in (1, 64):
+        cfg = tiny_cfg(metric_fetch_every=fetch_every)
+        model, variables, _ = build(cfg)
+        trainer = Trainer(cfg, model,
+                          jax.tree_util.tree_map(jnp.copy,
+                                                 variables["params"]))
+        rng = np.random.default_rng(rng_seed)
+        meter = trainer.train_epoch(_loaders(rng, n_batches=5)())
+        results[fetch_every] = (meter.avg, meter.count)
+    assert results[1][1] == results[64][1]
+    np.testing.assert_allclose(results[64][0], results[1][0], rtol=1e-7)
