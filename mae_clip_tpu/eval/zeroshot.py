@@ -84,6 +84,86 @@ def zero_shot_accuracy(model, variables, loader: Iterable[Dict],
     return {f"top{k}_accuracy": hits[k] / max(total, 1) for k in ks}
 
 
+CIFAR10_CLASSES = ["airplane", "automobile", "bird", "cat", "deer", "dog",
+                   "frog", "horse", "ship", "truck"]
+
+
+def load_cifar10_pickle(directory: str, split: str = "test"
+                        ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Parse a standard ``cifar-10-batches-py/`` dump offline.
+
+    The reference's CIFAR protocol consumes torchvision's ``CIFAR10``
+    (reference: CIFAR.ipynb cell 6), which reads exactly this python-pickle
+    format: each batch file holds ``data`` as (N, 3072) uint8 rows in
+    CHW plane order (1024 R, 1024 G, 1024 B per 32x32 image) plus
+    ``labels``; ``batches.meta`` carries ``label_names``.
+
+    Returns (images uint8 (N, 32, 32, 3) RGB HWC, labels (N,) int64,
+    class_names).
+    """
+    import os
+    import pickle
+
+    files = (["test_batch"] if split == "test"
+             else [f"data_batch_{i}" for i in range(1, 6)])
+    images, labels = [], []
+    for fname in files:
+        with open(os.path.join(directory, fname), "rb") as fh:
+            d = pickle.load(fh, encoding="bytes")
+        data = np.asarray(d[b"data"], np.uint8)
+        images.append(data.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+        labels.extend(d[b"labels"])
+    class_names = list(CIFAR10_CLASSES)
+    meta_path = os.path.join(directory, "batches.meta")
+    if os.path.exists(meta_path):
+        with open(meta_path, "rb") as fh:
+            meta = pickle.load(fh, encoding="bytes")
+        class_names = [n.decode() if isinstance(n, bytes) else str(n)
+                       for n in meta[b"label_names"]]
+    return np.concatenate(images), np.asarray(labels, np.int64), class_names
+
+
+def array_image_label_loader(images: np.ndarray, labels: Sequence[int],
+                             size: int, batch_size: int
+                             ) -> Iterable[Dict[str, np.ndarray]]:
+    """Like :func:`image_label_loader` for in-memory uint8 HWC images
+    (e.g. a CIFAR dump): reference-exact bilinear resize + normalize per
+    image, static-shape batches, ragged tail padded + ``valid``-masked."""
+    from mae_clip_tpu.data.images import host_preprocess
+
+    n = len(images)
+    for start in range(0, n, batch_size):
+        chunk = images[start:start + batch_size]
+        imgs = np.stack([host_preprocess(im, size) for im in chunk])
+        lab = np.asarray(labels[start:start + batch_size])
+        valid = np.ones(len(chunk), dtype=bool)
+        if len(chunk) < batch_size:
+            pad = batch_size - len(chunk)
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                                  imgs.dtype)])
+            lab = np.concatenate([lab, np.zeros(pad, lab.dtype)])
+            valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+        yield {"image": imgs, "label": lab, "valid": valid}
+
+
+def zero_shot_cifar_eval(model, variables, tokenizer, cifar_dir: str,
+                         size: int, batch_size: int = 64,
+                         split: str = "test",
+                         template: str = "a photo of a {}",
+                         ks: Sequence[int] = (1, 5)) -> Dict[str, float]:
+    """The reference CIFAR.ipynb protocol end-to-end over an offline
+    ``cifar-10-batches-py/`` dump: "a photo of a {c}" prompts, L2-norm,
+    softmax(100*sim), top-k accuracy."""
+    images, labels, class_names = load_cifar10_pickle(cifar_dir, split)
+    classifier = build_zero_shot_classifier(model, variables, tokenizer,
+                                            class_names, template)
+    loader = array_image_label_loader(images, labels, size, batch_size)
+    out = zero_shot_accuracy(model, variables, loader, classifier, ks=ks)
+    out["num_images"] = float(len(images))
+    out["num_classes"] = float(len(class_names))
+    return out
+
+
 def class_dir_paths(directory: str
                     ) -> Tuple[List[str], List[int], List[str]]:
     """Walk a class-per-subdirectory image tree: (paths, labels, names)."""

@@ -313,3 +313,70 @@ def test_zero_shot_accuracy_and_dir_eval(tmp_path):
                              batch_size=4, ks=(1,))
     assert res["num_images"] == 6.0 and res["num_classes"] == 3.0
     assert 0.0 <= res["top1_accuracy"] <= 1.0
+
+
+def test_cifar10_pickle_loader_and_eval(tmp_path):
+    """Offline cifar-10-batches-py parsing (torchvision's on-disk format,
+    the reference CIFAR.ipynb cell 6 input) + the full zero-shot protocol
+    over it. Synthesizes a tiny dump: CHW plane-order rows, bytes keys,
+    batches.meta label_names."""
+    import pickle
+
+    from mae_clip_tpu.config import Config
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    from mae_clip_tpu.models.vit import ViTConfig
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+    from mae_clip_tpu.eval.zeroshot import (load_cifar10_pickle,
+                                            zero_shot_cifar_eval)
+
+    rng = np.random.default_rng(7)
+    n_test, n_train_per = 9, 4
+    names = [f"class{i}" for i in range(10)]
+
+    def write_batch(path, n, seed):
+        r = np.random.default_rng(seed)
+        imgs = r.integers(0, 256, size=(n, 32, 32, 3)).astype(np.uint8)
+        rows = imgs.transpose(0, 3, 1, 2).reshape(n, 3072)  # HWC -> CHW rows
+        labels = r.integers(0, 10, size=n).tolist()
+        with open(path, "wb") as fh:
+            pickle.dump({b"data": rows, b"labels": labels}, fh)
+        return imgs, labels
+
+    test_imgs, test_labels = write_batch(tmp_path / "test_batch", n_test, 1)
+    train_parts = [write_batch(tmp_path / f"data_batch_{i}", n_train_per,
+                               10 + i) for i in range(1, 6)]
+    with open(tmp_path / "batches.meta", "wb") as fh:
+        pickle.dump({b"label_names": [n.encode() for n in names]}, fh)
+
+    imgs, labels, classes = load_cifar10_pickle(str(tmp_path), "test")
+    np.testing.assert_array_equal(imgs, test_imgs)       # exact round-trip
+    np.testing.assert_array_equal(labels, test_labels)
+    assert classes == names
+    tr_imgs, tr_labels, _ = load_cifar10_pickle(str(tmp_path), "train")
+    assert tr_imgs.shape == (5 * n_train_per, 32, 32, 3)
+    np.testing.assert_array_equal(tr_imgs[:n_train_per], train_parts[0][0])
+
+    tok = WordPieceTokenizer(build_vocab(
+        [f"a photo of a {c}" for c in names], vocab_size=96,
+        min_frequency=1))
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=16,
+                 compute_dtype="float32", max_length=16, batch_size=4)
+    model = CLIPModel(
+        cfg,
+        text_config=DistilBertConfig(vocab_size=tok.vocab_size, dim=16,
+                                     n_layers=1, n_heads=2, hidden_dim=32,
+                                     max_position_embeddings=32),
+        vit_config=ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                             n_heads=2))
+    init_batch = {
+        "image": jnp.asarray(rng.normal(size=(4, 16, 16, 3)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(0, tok.vocab_size, (4, 8)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((4, 8), jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), init_batch)
+
+    out = zero_shot_cifar_eval(model, variables, tok, str(tmp_path),
+                               size=16, batch_size=4)
+    assert out["num_images"] == n_test and out["num_classes"] == 10
+    assert 0.0 <= out["top1_accuracy"] <= out["top5_accuracy"] <= 1.0
