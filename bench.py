@@ -32,6 +32,13 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 ATTN = os.environ.get("BENCH_ATTN", "")  # empty = shape-aware auto
 DECODER_STYLE = os.environ.get("BENCH_DECODER_STYLE", "")  # empty = preset
+# "flagship" (default) = the ViT+MAE TPU recipe. "reference_py" = the
+# literal reference workload (ResNet50 + DistilBERT with train-mode
+# dropout in the frozen tower, reference config.py:6-24 + main.py:101-107)
+# at BENCH_BATCH and BENCH_DTYPE (default bf16; the reference itself runs
+# fp32 — set BENCH_DTYPE=float32 for the faithful arithmetic).
+CONFIG = os.environ.get("BENCH_CONFIG", "flagship")
+DTYPE = os.environ.get("BENCH_DTYPE", "")  # empty = preset default
 # The flagship recipe freezes the text tower (reference modules.py:35), so
 # production training caches its features once per dataset (LiT-style;
 # train.loop.precompute_text_features) and the step skips the tower. The
@@ -52,7 +59,17 @@ def main() -> None:
     from mae_clip_tpu.train.state import TrainState
 
     on_tpu = jax.default_backend() == "tpu"
-    cfg = flagship_tpu_config(batch_size=BATCH)
+    if CONFIG == "reference_py":
+        from mae_clip_tpu.config import reference_py_config
+        cfg = reference_py_config(batch_size=BATCH)
+        if DTYPE:
+            cfg = cfg.replace(compute_dtype=DTYPE)
+    elif CONFIG == "flagship":
+        cfg = flagship_tpu_config(batch_size=BATCH)
+        if DTYPE:
+            cfg = cfg.replace(compute_dtype=DTYPE)
+    else:
+        raise SystemExit(f"unknown BENCH_CONFIG {CONFIG!r}")
     if DECODER_STYLE:
         import dataclasses
         cfg = dataclasses.replace(
@@ -63,17 +80,22 @@ def main() -> None:
     model = CLIPModel(cfg, text_config=text_cfg, attn_impl=attn)
 
     rng = np.random.default_rng(0)
-    # Production input path: the loader ships pre-patchified uint8
-    # (B, N, P*P*C) -- measured 2x faster than NHWC fp32 on v5e (device-side
-    # reshapes of minor-dim-3 layouts generate thousands of tile copies);
-    # normalization is fused into the jitted step.
-    from mae_clip_tpu.data.images import patchify_host
-    patch = 16
     imgs = rng.integers(0, 256, size=(BATCH, cfg.size, cfg.size, 3)
                         ).astype(np.uint8)
-    patches = np.stack([patchify_host(im, patch) for im in imgs])
+    if cfg.model_name == "resnet50":
+        # The conv trunk consumes NHWC; uint8 is normalized in-step.
+        image_input = jnp.asarray(imgs)
+    else:
+        # Production input path: the loader ships pre-patchified uint8
+        # (B, N, P*P*C) -- measured 2x faster than NHWC fp32 on v5e
+        # (device-side reshapes of minor-dim-3 layouts generate thousands
+        # of tile copies); normalization is fused into the jitted step.
+        from mae_clip_tpu.data.images import patchify_host
+        patch = 16
+        image_input = jnp.asarray(
+            np.stack([patchify_host(im, patch) for im in imgs]))
     batch = {
-        "image": jnp.asarray(patches),
+        "image": image_input,
         "input_ids": jnp.asarray(rng.integers(
             0, text_cfg.vocab_size, size=(BATCH, SEQ)).astype(np.int32)),
         "attention_mask": jnp.ones((BATCH, SEQ), dtype=jnp.int32),
@@ -84,7 +106,8 @@ def main() -> None:
         lambda r, b: model.init(r, b, mask_rng=jax.random.PRNGKey(1))
     )(jax.random.PRNGKey(0), batch)
     tx = make_optimizer(cfg, variables["params"])
-    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2),
+                              variables.get("batch_stats"))
     step = make_train_step(model, tx, cfg)
 
     # Two distinct device-resident batches, cycled, so no call ever repeats
@@ -94,9 +117,12 @@ def main() -> None:
     batch2["input_ids"] = (batch["input_ids"] + 1) % text_cfg.vocab_size
     batches = [batch, batch2]
 
-    if CACHED_TEXT:
+    use_cached_text = CACHED_TEXT and cfg.text_cache_enabled
+    if use_cached_text:
         # Production flagship path: frozen-text features precomputed once
         # per dataset (here: per benchmark batch), tower skipped per step.
+        # (reference_py keeps train-mode dropout in its frozen tower, so
+        # its features are NOT cacheable and the tower runs inline.)
         enc = jax.jit(lambda v, i, m: model.apply(
             v, i, m, method=model.encode_text))
         batches = [{"image": b["image"],
@@ -135,12 +161,14 @@ def main() -> None:
         per_step = max(per_step, alt)
 
     pairs_per_sec = BATCH / per_step
+    tower = ("ResNet50" if cfg.model_name == "resnet50"
+             else "ViT-S/16+MAE")
     print(json.dumps({
         "metric": "train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
-        "unit": (f"image-text pairs/sec/chip (ViT-S/16+MAE + DistilBERT"
-                 f"{' w/ frozen-text feature cache' if CACHED_TEXT else ''}"
-                 f", bf16, batch {BATCH}, fwd+bwd+AdamW)"),
+        "unit": (f"image-text pairs/sec/chip ({tower} + DistilBERT"
+                 f"{' w/ frozen-text feature cache' if use_cached_text else ''}"
+                 f", {cfg.compute_dtype}, batch {BATCH}, fwd+bwd+AdamW)"),
         "vs_baseline": round(
             pairs_per_sec / TORCH_CPU_REFERENCE_PAIRS_PER_SEC, 2),
     }))
