@@ -39,6 +39,7 @@ DECODER_STYLE = os.environ.get("BENCH_DECODER_STYLE", "")  # empty = preset
 # fp32 — set BENCH_DTYPE=float32 for the faithful arithmetic).
 CONFIG = os.environ.get("BENCH_CONFIG", "flagship")
 DTYPE = os.environ.get("BENCH_DTYPE", "")  # empty = preset default
+FUSED = os.environ.get("BENCH_FUSED", "")  # ""=preset | "auto"|"on"|"off"
 # The flagship recipe freezes the text tower (reference modules.py:35), so
 # production training caches its features once per dataset (LiT-style;
 # train.loop.precompute_text_features) and the step skips the tower. The
@@ -75,6 +76,8 @@ def main() -> None:
         cfg = dataclasses.replace(
             cfg, mae=dataclasses.replace(cfg.mae,
                                          decoder_style=DECODER_STYLE))
+    if FUSED:
+        cfg = cfg.replace(fused_blocks=FUSED)
     text_cfg = DistilBertConfig()
     attn = ATTN or "auto"
     model = CLIPModel(cfg, text_config=text_cfg, attn_impl=attn)

@@ -147,6 +147,18 @@ class Config:
     compute_dtype: str = "bfloat16"  # matmul/activation dtype on TPU
     param_dtype: str = "float32"
     use_pallas: str = "auto"         # "auto" | "always" | "never"
+    # Fused Pallas transformer-block-stack kernels (ops/block_kernel.py)
+    # for the ViT encoder and CrossMAE decoder: whole block stacks run
+    # with weights resident in VMEM while the batch streams through.
+    # "auto" engages on TPU when the geometry qualifies (head_dim % 128
+    # == 0, dropout-free blocks — the flagship recipe); canonical
+    # timm/HF geometries and CPU keep the per-block XLA path. "off"
+    # forces XLA; "on" forces the kernel (tests).
+    # Default "off": at b256 the first implementation measured SLOWER
+    # than XLA (3.8k vs 9.7k pairs/s — per-program overhead across the
+    # (L, B/G) grid dominates at these small tile sizes); flip to "auto"
+    # once the kernel wins (see BASELINE.md).
+    fused_blocks: str = "off"        # "auto" | "on" | "off"
     # LiT-style frozen-text feature cache: precompute the (frozen,
     # eval-mode) text tower's features once per dataset and skip the tower
     # in every train step (~1/3 of the flagship step). None = auto: enabled
@@ -182,6 +194,8 @@ class Config:
             raise ValueError(f"unknown gelu_impl {self.gelu_impl!r}")
         if self.use_pallas not in ("auto", "always", "never"):
             raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
+        if self.fused_blocks not in ("auto", "on", "off"):
+            raise ValueError(f"unknown fused_blocks {self.fused_blocks!r}")
         if self.model_name not in ("resnet50", "vit_s16", "vit_b16"):
             raise ValueError(f"unknown model_name {self.model_name!r}")
         if not 0.0 <= self.mae.mask_ratio < 1.0:

@@ -77,6 +77,7 @@ def mae_vit_for(cfg: Config, vit_config: Optional[ViTConfig] = None,
     return MAEViT(vcfg, decoder=dec, mask_ratio=cfg.mae.mask_ratio,
                   decoder_attn_impl=cfg.mae.decoder_attn_impl,
                   decoder_style=cfg.mae.decoder_style, remat=cfg.remat,
+                  block_impl=cfg.fused_blocks,
                   attn_impl=attn_impl, attn_interpret=attn_interpret,
                   dtype=_dtype_of(cfg.compute_dtype),
                   param_dtype=_dtype_of(cfg.param_dtype))
@@ -124,6 +125,7 @@ class CLIPModel(nn.Module):
                 self.image_encoder = mae_vit_for(cfg, vcfg, **attn)
             else:
                 self.image_encoder = ViTEncoder(vcfg, remat=cfg.remat,
+                                                block_impl=cfg.fused_blocks,
                                                 **attn, **common)
 
         self.text_encoder = TextEncoder(text_cfg, remat=cfg.remat,

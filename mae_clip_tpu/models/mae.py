@@ -31,7 +31,8 @@ from flax import linen as nn
 
 from mae_clip_tpu.models.layers import Dense, LayerNorm
 from mae_clip_tpu.models.vit import (PatchEmbed, ViTBlock, ViTConfig,
-                                     patchify, sincos_pos_embed_2d)
+                                     _use_fused_blocks, patchify,
+                                     run_self_blocks, sincos_pos_embed_2d)
 from mae_clip_tpu.ops.attention import multi_head_attention
 from mae_clip_tpu.ops.masking import (random_masking,
                                       scatter_with_mask_tokens)
@@ -106,6 +107,32 @@ class CrossAttnBlock(nn.Module):
         return x + h
 
 
+def collect_cross_block_weights(blocks, dtype) -> dict:
+    """Stack CrossAttnBlock params into the fused_block_stack layout."""
+    def stack(get):
+        x = jnp.stack([get(b.variables["params"]) for b in blocks])
+        return x.astype(dtype) if dtype is not None else x
+
+    return {
+        "ln1_g": stack(lambda p: p["norm1"]["scale"]),
+        "ln1_b": stack(lambda p: p["norm1"]["bias"]),
+        "lnkv_g": stack(lambda p: p["norm_kv"]["scale"]),
+        "lnkv_b": stack(lambda p: p["norm_kv"]["bias"]),
+        "wq": stack(lambda p: p["attn_q"]["kernel"]),
+        "bq": stack(lambda p: p["attn_q"]["bias"]),
+        "wkv": stack(lambda p: p["attn_kv"]["kernel"]),
+        "bkv": stack(lambda p: p["attn_kv"]["bias"]),
+        "wproj": stack(lambda p: p["attn_proj"]["kernel"]),
+        "bproj": stack(lambda p: p["attn_proj"]["bias"]),
+        "ln2_g": stack(lambda p: p["norm2"]["scale"]),
+        "ln2_b": stack(lambda p: p["norm2"]["bias"]),
+        "wfc1": stack(lambda p: p["mlp_fc1"]["kernel"]),
+        "bfc1": stack(lambda p: p["mlp_fc1"]["bias"]),
+        "wfc2": stack(lambda p: p["mlp_fc2"]["kernel"]),
+        "bfc2": stack(lambda p: p["mlp_fc2"]["bias"]),
+    }
+
+
 class MAEViT(nn.Module):
     """ViT encoder (shared with CLIP) + MAE decoder."""
 
@@ -124,6 +151,10 @@ class MAEViT(nn.Module):
     # tokens (arXiv:2401.14391); fewer decoder tokens, no scatter, no
     # quadratic self-attention.
     decoder_style: str = "full"
+    # Fused Pallas block-stack path for the encoder blocks and the cross
+    # decoder blocks ("auto" engages on TPU when the geometry qualifies;
+    # see vit._use_fused_blocks). "off" = canonical per-block XLA path.
+    block_impl: str = "off"
     attn_interpret: bool = False
     use_pallas_patch_embed: bool = False
     remat: bool = False
@@ -166,6 +197,7 @@ class MAEViT(nn.Module):
             dec_block(dec_cfg, **dec_attn, **common,
                       name=f"decoder_block_{i}")
             for i in range(d.depth)]
+        self.dec_cfg = dec_cfg
         self.decoder_norm = LayerNorm(epsilon=1e-6, **common)
         patch_dim = c.patch_size * c.patch_size * self.channels
         self.decoder_pred = Dense(patch_dim, **common)
@@ -185,8 +217,9 @@ class MAEViT(nn.Module):
         cls_tok = (jnp.broadcast_to(self.cls_token, (b, 1, c.dim))
                    + enc_pe[:, :1, :]).astype(tokens.dtype)
         x = jnp.concatenate([cls_tok, tokens], axis=1)
-        for block in self.blocks:
-            x = block(x, deterministic)
+        x = run_self_blocks(self.blocks, x, c, self.block_impl,
+                            deterministic, self.is_initializing(),
+                            self.dtype, interpret=self.attn_interpret)
         return self.norm(x)
 
     def encode_full(self, images: jax.Array,
@@ -242,8 +275,17 @@ class MAEViT(nn.Module):
             q = (jnp.broadcast_to(self.mask_token,
                                   (b, masking.ids_masked.shape[1], d.dim))
                  + pe_masked).astype(y.dtype)
-            for block in self.decoder_blocks:
-                q = block(q, kv, deterministic)
+            if _use_fused_blocks(self.block_impl, self.dec_cfg,
+                                 self.is_initializing()):
+                from mae_clip_tpu.ops.block_kernel import fused_block_stack
+                w = collect_cross_block_weights(self.decoder_blocks,
+                                                self.dtype)
+                q = fused_block_stack(q, kv, w, self.dec_cfg.n_heads,
+                                      self.dec_cfg.gelu, True,
+                                      self.attn_interpret)
+            else:
+                for block in self.decoder_blocks:
+                    q = block(q, kv, deterministic)
             pred = self.decoder_pred(self.decoder_norm(q))   # (B, N-K, PPC)
             from mae_clip_tpu.ops.masking import gather_patches_onehot
             target_masked = gather_patches_onehot(target, masking.ids_masked)

@@ -160,6 +160,76 @@ class PatchEmbed(nn.Module):
                           name="proj")(patches, ids, interpret)
 
 
+def _use_fused_blocks(block_impl: str, cfg: ViTConfig,
+                      is_initializing: bool) -> bool:
+    """Gate for the fused Pallas block-stack path (ops/block_kernel.py).
+
+    Requirements: MXU-width heads (head_dim % 128 == 0 — the flagship
+    geometry; canonical timm/HF geometries keep XLA), dropout-free blocks
+    (the kernel is deterministic), and a supported GELU. "auto" engages
+    only on TPU. Init always runs the unfused path so flax creates the
+    per-block params the fused path reads.
+    """
+    if block_impl == "off" or is_initializing:
+        return False
+    if cfg.dim % cfg.n_heads or (cfg.dim // cfg.n_heads) % 128:
+        return False
+    if cfg.dropout != 0.0 or cfg.gelu not in ("erf", "tanh"):
+        return False
+    if block_impl == "on":
+        return True
+    import jax as _jax
+    return block_impl == "auto" and _jax.default_backend() == "tpu"
+
+
+def collect_self_block_weights(blocks, dim: int, dtype) -> dict:
+    """Stack ViTBlock params into the fused_block_stack layout.
+
+    The fused qkv kernel splits into wq (first D columns) / wkv (k+v
+    columns); lnkv slots are filled with ln1 (ignored when cross=False,
+    but DMA'd, so they must exist)."""
+    def stack(get):
+        x = jnp.stack([get(b.variables["params"]) for b in blocks])
+        return x.astype(dtype) if dtype is not None else x
+
+    d = dim
+    w = {
+        "ln1_g": stack(lambda p: p["norm1"]["scale"]),
+        "ln1_b": stack(lambda p: p["norm1"]["bias"]),
+        "wq": stack(lambda p: p["attn_qkv"]["kernel"][:, :d]),
+        "bq": stack(lambda p: p["attn_qkv"]["bias"][:d]),
+        "wkv": stack(lambda p: p["attn_qkv"]["kernel"][:, d:]),
+        "bkv": stack(lambda p: p["attn_qkv"]["bias"][d:]),
+        "wproj": stack(lambda p: p["attn_proj"]["kernel"]),
+        "bproj": stack(lambda p: p["attn_proj"]["bias"]),
+        "ln2_g": stack(lambda p: p["norm2"]["scale"]),
+        "ln2_b": stack(lambda p: p["norm2"]["bias"]),
+        "wfc1": stack(lambda p: p["mlp_fc1"]["kernel"]),
+        "bfc1": stack(lambda p: p["mlp_fc1"]["bias"]),
+        "wfc2": stack(lambda p: p["mlp_fc2"]["kernel"]),
+        "bfc2": stack(lambda p: p["mlp_fc2"]["bias"]),
+    }
+    w["lnkv_g"] = w["ln1_g"]
+    w["lnkv_b"] = w["ln1_b"]
+    return w
+
+
+def run_self_blocks(blocks, x: jax.Array, cfg: ViTConfig, block_impl: str,
+                    deterministic: bool, is_initializing: bool,
+                    dtype, interpret: bool = False,
+                    remat: bool = False) -> jax.Array:
+    """Run a ViTBlock stack: fused Pallas path when eligible, else the
+    per-block XLA path (bit-exact canonical semantics)."""
+    if _use_fused_blocks(block_impl, cfg, is_initializing):
+        from mae_clip_tpu.ops.block_kernel import fused_block_stack
+        w = collect_self_block_weights(blocks, cfg.dim, dtype)
+        return fused_block_stack(x, x, w, cfg.n_heads, cfg.gelu,
+                                 False, interpret)
+    for block in blocks:
+        x = block(x, deterministic)
+    return x
+
+
 class ViTBlock(nn.Module):
     config: ViTConfig
     attn_impl: str = "xla"
@@ -202,40 +272,57 @@ class ViTEncoder(nn.Module):
     config: ViTConfig = VIT_S16
     attn_impl: str = "xla"
     attn_interpret: bool = False
+    # Fused Pallas block-stack path ("auto" engages on TPU when the
+    # geometry qualifies; see _use_fused_blocks). "off" = canonical
+    # per-block XLA path.
+    block_impl: str = "off"
     remat: bool = False
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.config
+        self.patch_embed = PatchEmbed(c, dtype=self.dtype,
+                                      param_dtype=self.param_dtype)
+        self.cls_token = self.param("cls_token",
+                                    nn.initializers.normal(0.02),
+                                    (1, 1, c.dim), self.param_dtype)
+        if c.pos_embed == "learned":
+            self.pos_embed = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (1, c.num_patches + 1, c.dim), self.param_dtype)
+        block_cls = ViTBlock
+        if self.remat:
+            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
+        self.blocks = [block_cls(c, attn_impl=self.attn_impl,
+                                 attn_interpret=self.attn_interpret,
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name=f"block_{i}")
+                       for i in range(c.depth)]
+        self.norm = LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                              param_dtype=self.param_dtype)
+
     def __call__(self, images: jax.Array,
                  deterministic: bool = True) -> jax.Array:
         c = self.config
-        x = PatchEmbed(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                       name="patch_embed")(images)
+        x = self.patch_embed(images)
         b, n, _ = x.shape
 
-        cls = self.param("cls_token", nn.initializers.normal(0.02),
-                         (1, 1, c.dim), self.param_dtype)
-        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c.dim)).astype(x.dtype),
-                             x], axis=1)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(self.cls_token, (b, 1, c.dim)).astype(x.dtype),
+             x], axis=1)
         if c.pos_embed == "learned":
-            pe = self.param("pos_embed", nn.initializers.normal(0.02),
-                            (1, n + 1, c.dim), self.param_dtype)
+            pe = self.pos_embed
         else:
             pe = jnp.asarray(sincos_pos_embed_2d(c.dim, c.grid_size,
                                                  cls_token=True))[None]
         x = x + pe.astype(x.dtype)
 
-        block_cls = ViTBlock
-        if self.remat:
-            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
-        for i in range(c.depth):
-            x = block_cls(c, attn_impl=self.attn_impl,
-                          attn_interpret=self.attn_interpret,
-                          dtype=self.dtype, param_dtype=self.param_dtype,
-                          name=f"block_{i}")(x, deterministic)
-        x = LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="norm")(x)
+        x = run_self_blocks(self.blocks, x, c, self.block_impl,
+                            deterministic, self.is_initializing(),
+                            self.dtype, interpret=self.attn_interpret)
+        x = self.norm(x)
         if c.pool == "cls":
             return x[:, 0]
         return jnp.mean(x[:, 1:], axis=1)
