@@ -121,11 +121,13 @@ def main() -> None:
         cv2.imwrite(os.path.join(img_dir, name),
                     cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         for cap in captions_for(color, shape, bg, pos, rng):
-            rows.append((name, cap))
+            rows.append((i, name, cap))
 
+    # id = per-image integer shared by its captions — the column the
+    # reference's image-level train/valid split keys on (main.py:20-31).
     with open(os.path.join(args.out, "captions.csv"), "w", newline="") as fh:
         w = csv.writer(fh)
-        w.writerow(["image", "caption"])
+        w.writerow(["id", "image", "caption"])
         w.writerows(rows)
 
     # Held-out class-per-subdirectory tree (class = shape) for zero-shot /

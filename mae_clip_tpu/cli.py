@@ -22,14 +22,36 @@ from typing import List, Optional
 from mae_clip_tpu.config import Config
 
 
+_PRESETS = ("reference_py", "notebook", "flagship_tpu", "mae_pretrain",
+            "coco_full", "large_batch_mesh")
+
+
 def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config", help="JSON config file")
+    p.add_argument("--preset", choices=_PRESETS,
+                   help="named config preset (config.py) as the base; "
+                        "--config/--set apply on top")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VALUE", help="config override (repeatable)")
 
 
 def _load_config(args) -> Config:
-    cfg = Config.from_file(args.config) if args.config else Config()
+    if getattr(args, "preset", None):
+        import mae_clip_tpu.config as _cfg_mod
+        cfg = getattr(_cfg_mod, f"{args.preset}_config")()
+        if args.config:
+            # Merge ONLY the keys present in the file over the preset.
+            def merge(base: dict, over: dict) -> dict:
+                for k, v in over.items():
+                    if isinstance(v, dict) and isinstance(base.get(k), dict):
+                        merge(base[k], v)
+                    else:
+                        base[k] = v
+                return base
+            with open(args.config) as f:
+                cfg = Config.from_dict(merge(cfg.to_dict(), json.load(f)))
+    else:
+        cfg = Config.from_file(args.config) if args.config else Config()
     cfg = cfg.with_overrides(args.overrides)
     cfg.validate()
     return cfg
@@ -113,7 +135,8 @@ def cmd_train(args) -> None:
                               tokenizer, image_path=cfg.image_path,
                               size=cfg.size, max_length=cfg.max_length,
                               raw_uint8=vit_fast,
-                              patchify_size=16 if vit_fast else None)
+                              patchify_size=16 if vit_fast else None,
+                              cache=cfg.cache_images)
 
     train_ds, valid_ds = make_ds(train_df), make_ds(valid_df)
     cfg = _with_computed_decay_steps(cfg, len(train_ds))
@@ -145,39 +168,65 @@ def cmd_train(args) -> None:
         print(f"init-from-mae: {len(transferred)} tensors transferred, "
               f"{len(skipped)} skipped")
 
-    mngr = CheckpointManager(cfg.checkpoints)
-    writer = MetricWriter(cfg.logdir)
-    trainer = Trainer(cfg, model, variables["params"],
-                      batch_stats=variables.get("batch_stats"), mesh=mesh,
-                      checkpoint_manager=mngr, writer=writer, progress=True)
-
     # LiT-style frozen-text cache: one tower pass per dataset instead of
     # one per step (~1/3 of the flagship step; see config field docs).
     train_tf = valid_tf = None
     if cfg.text_cache_enabled:
         from mae_clip_tpu.train.loop import precompute_text_features
-        tv = trainer.state.variables()
+        tv = dict(variables)
         train_tf = precompute_text_features(model, tv, train_ds)
         valid_tf = precompute_text_features(model, tv, valid_ds)
         print(f"cached frozen-text features: {train_tf.shape} train, "
               f"{valid_tf.shape} valid")
 
+    # Device-resident data: whole decoded dataset staged in HBM, batches
+    # gathered on device from (B,) index vectors (data.device_store).
+    train_store = valid_store = None
+    if cfg.device_data:
+        from mae_clip_tpu.data.device_store import build_device_store
+        train_store = build_device_store(train_ds, text_features=train_tf)
+        valid_store = build_device_store(valid_ds, text_features=valid_tf)
+        print(f"device-resident data: "
+              f"{(train_store.nbytes + valid_store.nbytes) / 2**20:.0f} MiB "
+              f"staged in HBM ({train_store.n} train + {valid_store.n} "
+              f"valid examples)")
+
+    mngr = CheckpointManager(cfg.checkpoints)
+    writer = MetricWriter(cfg.logdir)
+    trainer = Trainer(cfg, model, variables["params"],
+                      batch_stats=variables.get("batch_stats"), mesh=mesh,
+                      checkpoint_manager=mngr, writer=writer,
+                      progress=getattr(args, "progress", True),
+                      train_store=train_store, valid_store=valid_store)
+
     epoch_seed = [cfg.seed]
 
-    def train_loader():
-        epoch_seed[0] += 1
-        return make_loader(train_ds, cfg.batch_size, shuffle=True,
-                           seed=epoch_seed[0], text_features=train_tf)
+    if cfg.device_data:
+        from mae_clip_tpu.data.device_store import make_index_loader
 
-    def valid_loader():
-        return make_loader(valid_ds, cfg.batch_size, text_features=valid_tf)
+        def train_loader():
+            epoch_seed[0] += 1
+            return make_index_loader(len(train_ds), cfg.batch_size,
+                                     shuffle=True, seed=epoch_seed[0])
+
+        def valid_loader():
+            return make_index_loader(len(valid_ds), cfg.batch_size)
+    else:
+        def train_loader():
+            epoch_seed[0] += 1
+            return make_loader(train_ds, cfg.batch_size, shuffle=True,
+                               seed=epoch_seed[0], text_features=train_tf)
+
+        def valid_loader():
+            return make_loader(valid_ds, cfg.batch_size,
+                               text_features=valid_tf)
 
     eval_fn = None
     if args.eval_retrieval:
         from mae_clip_tpu.eval.retrieval import make_retrieval_eval_fn
         eval_fn = make_retrieval_eval_fn(
             model, valid_ds, lambda d, b: make_loader(d, b),
-            batch_size=cfg.batch_size)
+            batch_size=cfg.batch_size, store=valid_store)
 
     history = trainer.fit(train_loader, valid_loader, eval_fn=eval_fn)
     mngr.wait()
@@ -231,7 +280,8 @@ def _train_from_shards(args, cfg: Config) -> None:
     mngr = CheckpointManager(cfg.checkpoints)
     writer = MetricWriter(cfg.logdir)
     trainer = Trainer(cfg, model, variables["params"], mesh=mesh,
-                      checkpoint_manager=mngr, writer=writer, progress=True)
+                      checkpoint_manager=mngr, writer=writer,
+                      progress=getattr(args, "progress", True))
     history = trainer.fit(
         lambda epoch=0: loader(args.shards, epoch),
         lambda epoch=0: loader(args.shards_val or args.shards, 0))
@@ -494,7 +544,8 @@ def cmd_mae_pretrain(args) -> None:
     mngr = CheckpointManager(cfg.checkpoints)
     writer = MetricWriter(cfg.logdir)
     trainer = Trainer(cfg, model, variables["params"], mesh=mesh,
-                      checkpoint_manager=mngr, writer=writer, progress=True,
+                      checkpoint_manager=mngr, writer=writer,
+                      progress=getattr(args, "progress", True),
                       objective="mae")
 
     epoch_seed = [cfg.seed]
@@ -629,6 +680,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--captions-dir")
     p.add_argument("--eval-retrieval", action="store_true",
                    help="compute recall@K on the validation split per epoch")
+    p.add_argument("--progress", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="tqdm progress bars; --no-progress also lets the "
+                        "Trainer batch its device->host loss fetches "
+                        "(metric_fetch_every) instead of syncing per step")
     p.add_argument("--init-from-mae",
                    help="initialize the image tower from a mae-pretrain "
                         "run directory (MAE-paper transfer recipe)")
@@ -648,6 +704,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--augment", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="RandomResizedCrop+flip (MAE-paper augmentation)")
+    p.add_argument("--progress", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="tqdm progress bars; --no-progress also lets the "
+                        "Trainer batch its device->host loss fetches")
     p.set_defaults(fn=cmd_mae_pretrain)
 
     p = sub.add_parser("retrieve", help="text->image retrieval")

@@ -165,6 +165,18 @@ class Config:
     # exactly when text_trainable=False and frozen_text_eval_mode=True
     # (the only configuration where it is mathematically a no-op).
     cache_text_features: Optional[bool] = None
+    # Host-RAM cache of decoded (resized/patchified) images, deduped by
+    # filename: epoch 1 pays the JPEG decode, epochs 2+ are array gathers.
+    # Opt-in because it holds the whole decoded dataset in host memory
+    # (~150 KB/image at 224px uint8). Augmented loads (MAE pretraining
+    # crops) bypass it by design.
+    cache_images: bool = False
+    # Stage the WHOLE decoded dataset in device HBM and feed train/eval
+    # steps by on-device index gather (data.device_store): per-step H2D
+    # drops from the full batch to a (B,) index vector. For datasets that
+    # fit HBM (~150 KB/image at 224px uint8 patches). Implies the decode
+    # cost is paid once, like cache_images, but in device memory.
+    device_data: bool = False
     remat: bool = False              # jax.checkpoint over tower blocks
     # Trainer metric cadence: fetch train-step losses device->host every N
     # steps instead of every step. On a remote TPU a value fetch is the

@@ -1,0 +1,140 @@
+"""Device-resident dataset staging: the whole dataset in HBM, batches by
+on-device gather.
+
+TPU-native answer to input-bound training when the decoded dataset fits
+device memory (a 224px uint8-patch dataset is ~150 KB/image, so ~100k
+images fit comfortably in a v5e's 16 GB alongside the flagship model).
+The decoded images (and, for frozen-text recipes, the cached text
+features — ``train.loop.precompute_text_features``) are uploaded ONCE;
+every train/eval step then gathers its batch HBM->HBM from a (B,) int32
+index vector, so per-step host->device traffic drops from the full batch
+(38 MB at b256) to a few hundred bytes.
+
+This is the difference between step-rate and input-rate training whenever
+H2D bandwidth can't feed the chip: measured on this remote-tunnel setup,
+the file loader sustains ~75 pairs/s (16-35 MB/s H2D) while the train
+step itself runs at ~9.7k pairs/s — device staging recovers the step
+rate (BASELINE.md "end-to-end epoch").
+
+The reference has no analogue (its DataLoader re-reads JPEGs from disk
+every epoch, dataset.py:24-33); the closest torch idiom is a
+TensorDataset pinned to GPU memory.
+
+Design notes:
+* The gather is a separate tiny jitted function, NOT part of the train
+  step: the step keeps its (state, batch) signature and donated state,
+  the store rides through as an ordinary non-donated argument (zero-copy
+  for device-resident arrays), and both dispatches are async so the
+  extra hop costs no wall-clock.
+* Uploads are chunked (``device_put`` of ~100-200 MB slabs, concatenated
+  on device) so the host never materialises a second full copy and the
+  transfer streams.
+* Multi-chip: the store is small enough to replicate for DP meshes (pass
+  ``sharding=NamedSharding(mesh, P())``); sample-sharded stores with
+  index routing are a non-goal while per-host file sharding
+  (``data/shards.py``) covers the multi-host case.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class DeviceStore:
+    """Named (N, ...) device arrays + a jitted batch gather."""
+
+    def __init__(self, arrays: Dict[str, "jax.Array"]):
+        import jax
+        import jax.numpy as jnp
+
+        if not arrays:
+            raise ValueError("DeviceStore needs at least one array")
+        ns = {k: int(v.shape[0]) for k, v in arrays.items()}
+        if len(set(ns.values())) != 1:
+            raise ValueError(f"inconsistent leading dims: {ns}")
+        self.arrays = arrays
+        self.n = next(iter(ns.values()))
+
+        def gather(arrays, indices):
+            return {k: jnp.take(v, indices, axis=0)
+                    for k, v in arrays.items()}
+
+        self._gather = jax.jit(gather)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                   for v in self.arrays.values())
+
+    def gather(self, indices) -> Dict[str, "jax.Array"]:
+        """(B,) int32 device/host indices -> on-device batch dict."""
+        return self._gather(self.arrays, indices)
+
+
+def _upload_chunked(big: np.ndarray, chunk_rows: int,
+                    sharding=None) -> "jax.Array":
+    import jax
+    import jax.numpy as jnp
+
+    kw = {"device": sharding} if sharding is not None else {}
+    parts = [jax.device_put(big[s:s + chunk_rows], **kw)
+             for s in range(0, len(big), chunk_rows)]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
+def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
+                       images: Optional[np.ndarray] = None,
+                       num_threads: int = 8,
+                       chunk_bytes: int = 128 * 1024 * 1024,
+                       sharding=None) -> DeviceStore:
+    """Decode the whole dataset once (thread pool; respects the dataset's
+    native fast path and host cache) and stage it in device memory.
+
+    ``dataset`` is an ``ImageFileSource`` (``CaptionDataset`` adds the
+    token table). ``text_features`` (N, D) switches the store to the
+    frozen-text layout (no token ids on device — the tower is skipped).
+    ``images``: preloaded (N, ...) array bypassing file decode (tests,
+    synthetic data).
+    """
+    import concurrent.futures as cf
+
+    if images is None:
+        with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
+            imgs = list(pool.map(dataset.load_image, range(len(dataset))))
+        images = np.stack(imgs)
+    per_row = int(np.prod(images.shape[1:])) * images.dtype.itemsize
+    rows = max(1, chunk_bytes // max(per_row, 1))
+    arrays = {"image": _upload_chunked(images, rows, sharding)}
+    if text_features is not None:
+        arrays["text_features"] = _upload_chunked(
+            np.asarray(text_features), len(text_features), sharding)
+    elif hasattr(dataset, "input_ids"):
+        arrays["input_ids"] = _upload_chunked(
+            dataset.input_ids, len(dataset.input_ids), sharding)
+        arrays["attention_mask"] = _upload_chunked(
+            dataset.attention_mask, len(dataset.attention_mask), sharding)
+    return DeviceStore(arrays)
+
+
+def make_index_loader(n: int, batch_size: int, shuffle: bool = False,
+                      seed: int = 0, drop_last: bool = False
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+    """Index-only loader: yields {indices (B,) i32, valid (B,) bool} with
+    the SAME order/padding semantics as ``pipeline.make_loader`` (seeded
+    shuffle depends only on (seed, n); ragged tail padded with index 0 +
+    valid mask) so metrics and coverage match the file-based path."""
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    num_batches = n // batch_size if drop_last else -(-n // batch_size)
+    for bi in range(num_batches):
+        idx = order[bi * batch_size:(bi + 1) * batch_size]
+        count = len(idx)
+        pad = batch_size - count
+        if pad:
+            idx = np.concatenate([idx, np.zeros((pad,), idx.dtype)])
+        valid = np.zeros((batch_size,), dtype=bool)
+        valid[:count] = True
+        yield {"indices": idx.astype(np.int32), "valid": valid}

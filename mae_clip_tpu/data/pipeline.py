@@ -41,7 +41,8 @@ class ImageFileSource:
                  image_path: str = "", size: int = 224,
                  raw_uint8: bool = False,
                  patchify_size: Optional[int] = None,
-                 native: str = "auto"):
+                 native: str = "auto",
+                 cache: bool = False):
         self.image_filenames = list(image_filenames)
         self.image_path = image_path
         self.size = size
@@ -56,6 +57,15 @@ class ImageFileSource:
         if native not in ("auto", "never", "always"):
             raise ValueError(f"unknown native mode {native!r}")
         self.native = native
+        # Opt-in host-RAM cache of decoded outputs, keyed by FILENAME so
+        # caption rows sharing an image decode it once. Epoch 1 pays the
+        # decode; epochs 2+ are pure array gathers, which is what lets the
+        # end-to-end epoch rate approach the step benchmark on RAM-resident
+        # datasets (BASELINE.md "end-to-end epoch"). Deliberately bypassed
+        # for augmented loads (fresh crop each epoch). Dict get/set are
+        # GIL-atomic, so the threaded loader needs no lock (worst case two
+        # threads decode the same image once).
+        self._img_cache: Optional[dict] = {} if cache else None
 
     def __len__(self) -> int:
         return len(self.image_filenames)
@@ -76,6 +86,16 @@ class ImageFileSource:
                    ) -> np.ndarray:
         path = (f"{self.image_path}/{self.image_filenames[idx]}"
                 if self.image_path else self.image_filenames[idx])
+        if aug_rng is None and self._img_cache is not None:
+            cached = self._img_cache.get(path)
+            if cached is None:
+                cached = self._load_path(path, aug_rng)
+                self._img_cache[path] = cached
+            return cached
+        return self._load_path(path, aug_rng)
+
+    def _load_path(self, path: str,
+                   aug_rng: Optional[np.random.Generator]) -> np.ndarray:
         if aug_rng is None and self._native_enabled():
             # Native fused decode->resize->patchify fast path (fixed
             # resize geometry, so the augmented path bypasses it).
@@ -139,11 +159,12 @@ class CaptionDataset(ImageFileSource):
                  fixed_length: Optional[int] = None,
                  raw_uint8: bool = False,
                  patchify_size: Optional[int] = None,
-                 native: str = "auto"):
+                 native: str = "auto",
+                 cache: bool = False):
         assert len(image_filenames) == len(captions)
         super().__init__(image_filenames, image_path=image_path, size=size,
                          raw_uint8=raw_uint8, patchify_size=patchify_size,
-                         native=native)
+                         native=native, cache=cache)
         self.captions = [str(c) for c in captions]
         enc = tokenizer.encode_batch(self.captions, max_length=max_length,
                                      fixed_length=fixed_length)

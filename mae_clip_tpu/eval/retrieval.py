@@ -19,11 +19,7 @@ import numpy as np
 from mae_clip_tpu.ops.retrieval import retrieval_topk, strided_dedup
 
 
-def compute_image_embeddings(model, variables, loader: Iterable[Dict],
-                             ) -> jax.Array:
-    """Encode + project every image batch into one (N, proj_dim) gallery
-    (reference: inference.py:21-27)."""
-
+def _image_embed_fn(model):
     from mae_clip_tpu.data.images import normalize_uint8
 
     @jax.jit
@@ -32,12 +28,43 @@ def compute_image_embeddings(model, variables, loader: Iterable[Dict],
         feats = model.apply(variables, images, method=model.encode_image)
         return model.apply(variables, feats, method=model.project_image)
 
+    return embed
+
+
+def compute_image_embeddings(model, variables, loader: Iterable[Dict],
+                             max_batches: Optional[int] = None
+                             ) -> jax.Array:
+    """Encode + project every image batch into one (N, proj_dim) gallery
+    (reference: inference.py:21-27). ``max_batches`` stops early when the
+    caller only needs a prefix (per-epoch eval subsample)."""
+    embed = _image_embed_fn(model)
     chunks: List[np.ndarray] = []
-    for batch in loader:
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
         emb = embed(variables, jnp.asarray(batch["image"]))
         valid = np.asarray(batch.get("valid",
                                      np.ones(emb.shape[0], dtype=bool)))
         chunks.append(np.asarray(emb)[valid])
+    return jnp.asarray(np.concatenate(chunks, axis=0))
+
+
+def compute_image_embeddings_from_store(model, variables, store, n: int,
+                                        batch_size: int) -> jax.Array:
+    """Gallery embeddings gathered from a device-resident store
+    (data.device_store): zero image H2D traffic. The ragged tail is
+    padded with index 0 (one static shape -> one executable) and dropped
+    after the fetch."""
+    embed = _image_embed_fn(model)
+    chunks: List[np.ndarray] = []
+    for s in range(0, n, batch_size):
+        idx = np.arange(s, min(s + batch_size, n))
+        count = len(idx)
+        if count < batch_size:
+            idx = np.concatenate(
+                [idx, np.zeros((batch_size - count,), idx.dtype)])
+        images = store.gather(jnp.asarray(idx.astype(np.int32)))["image"]
+        chunks.append(np.asarray(embed(variables, images))[:count])
     return jnp.asarray(np.concatenate(chunks, axis=0))
 
 
@@ -87,7 +114,8 @@ def show_matches(matches: Sequence[str], image_path: str = "") -> None:
 
 def make_retrieval_eval_fn(model, dataset, make_loader_fn, batch_size: int,
                            ks: Sequence[int] = (1, 5, 10),
-                           max_samples: Optional[int] = 1000):
+                           max_samples: Optional[int] = 1000,
+                           store=None):
     """Build a ``Trainer.fit(eval_fn=...)`` hook computing retrieval
     recall@K on (a subsample of) a caption dataset each epoch.
 
@@ -101,8 +129,13 @@ def make_retrieval_eval_fn(model, dataset, make_loader_fn, batch_size: int,
         variables = trainer.state.variables()
         n = len(dataset) if max_samples is None else min(len(dataset),
                                                          max_samples)
-        loader = make_loader_fn(dataset, batch_size)
-        image_emb = compute_image_embeddings(model, variables, loader)
+        if store is not None:
+            image_emb = compute_image_embeddings_from_store(
+                model, variables, store, n, batch_size)
+        else:
+            loader = make_loader_fn(dataset, batch_size)
+            image_emb = compute_image_embeddings(
+                model, variables, loader, max_batches=-(-n // batch_size))
 
         from mae_clip_tpu.data.images import normalize_uint8
 

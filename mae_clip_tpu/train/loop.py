@@ -458,7 +458,8 @@ class Trainer:
                  checkpoint_manager=None,
                  writer: Optional[MetricWriter] = None,
                  progress: bool = False,
-                 objective: str = "clip"):
+                 objective: str = "clip",
+                 train_store=None, valid_store=None):
         # objective: "clip" = contrastive (+joint MAE when cfg.mae.enabled;
         # model is a CLIPModel). "mae" = image-only MAE pretraining (model
         # is a standalone MAEViT; batches need only {image, valid}).
@@ -484,6 +485,10 @@ class Trainer:
         self.progress = progress
         n_chips = len(mesh.devices.flatten()) if mesh is not None else 1
         self.throughput = Throughput(num_chips=n_chips)
+        # Device-resident data (data.device_store): loaders yield
+        # {indices, valid} and _prepare gathers the batch HBM->HBM.
+        self.train_store = train_store
+        self.valid_store = valid_store
 
     def _progress_bar(self, iterable, desc: str):
         """tqdm wrapper (the reference's progress UX, main.py:53,66,81)."""
@@ -495,9 +500,16 @@ class Trainer:
         except ImportError:
             return iterable
 
-    def _prepare(self, batch):
-        batch = {k: jnp.asarray(v) for k, v in batch.items()
-                 if k != "caption"}
+    def _prepare(self, batch, store=None):
+        if store is not None and "indices" in batch:
+            # Device-resident path: ship only the (B,) index vector; the
+            # batch itself is an async HBM->HBM gather.
+            gathered = store.gather(jnp.asarray(batch["indices"]))
+            gathered["valid"] = jnp.asarray(batch["valid"])
+            batch = gathered
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k != "caption"}
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh,
                                 self.cfg.mesh.axis_names[0])
@@ -509,14 +521,15 @@ class Trainer:
             return int(np.asarray(batch["valid"]).sum())
         return int(np.asarray(batch["image"]).shape[0])
 
-    def _device_prefetch(self, loader: Iterable[Dict[str, Any]]):
+    def _device_prefetch(self, loader: Iterable[Dict[str, Any]],
+                         store=None):
         """Overlap host->device transfer with compute: the next batch is
         device_put while the current step runs (1-deep pipeline; the
         reference's num_workers analogue on the transfer side)."""
         it = iter(loader)
         prev_raw = prev_dev = None
         for batch in it:
-            dev = self._prepare(batch)
+            dev = self._prepare(batch, store=store)
             if prev_dev is not None:
                 yield prev_raw, prev_dev
             prev_raw, prev_dev = batch, dev
@@ -526,7 +539,8 @@ class Trainer:
     def train_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
         meter = AvgMeter("train_loss")
         self.throughput.start()
-        bar = self._progress_bar(self._device_prefetch(loader), "train")
+        bar = self._progress_bar(
+            self._device_prefetch(loader, store=self.train_store), "train")
         # Device->host value fetches are the only true barrier on a remote
         # TPU and cost a full round-trip each; fetching the loss per step
         # (the reference's loss.item(), main.py:64) would serialize the
@@ -567,7 +581,8 @@ class Trainer:
         bar = self._progress_bar(loader, "valid")
         for batch in bar:
             count = self._count(batch)
-            metrics = self.eval_step(self.state, self._prepare(batch))
+            metrics = self.eval_step(
+                self.state, self._prepare(batch, store=self.valid_store))
             meter.update(float(metrics["loss"]), count)
             if self.progress and hasattr(bar, "set_postfix"):
                 bar.set_postfix(valid_loss=meter.avg)

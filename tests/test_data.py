@@ -168,3 +168,47 @@ def test_loader_multihost_partitions_global_batch(tiny_dataset):
         np.testing.assert_array_equal(merged_ids, s["input_ids"])
         merged_valid = np.concatenate([a["valid"], b["valid"]])
         np.testing.assert_array_equal(merged_valid, s["valid"])
+
+
+def test_image_cache_dedupes_by_filename(tmp_path):
+    """cache=True: each unique FILE decodes once; repeat rows and repeat
+    epochs hit host RAM (Config.cache_images; BASELINE.md end-to-end
+    epoch measurement)."""
+    import cv2
+
+    from mae_clip_tpu.data.pipeline import ImageFileSource
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = rng.integers(0, 255, size=(16, 16, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f"im{i}.png"), img)
+    # two caption rows share im0.png
+    names = ["im0.png", "im1.png", "im2.png", "im0.png"]
+    src = ImageFileSource(names, image_path=str(tmp_path), size=8,
+                          cache=True)
+    decodes = []
+    orig = ImageFileSource._load_path
+
+    def counting(self, path, aug_rng):
+        decodes.append(path)
+        return orig(self, path, aug_rng)
+
+    ImageFileSource._load_path = counting
+    try:
+        first = [src.load_image(i) for i in range(4)]
+        second = [src.load_image(i) for i in range(4)]   # "epoch 2"
+    finally:
+        ImageFileSource._load_path = orig
+    assert len(decodes) == 3                 # unique files, once each
+    np.testing.assert_array_equal(first[0], first[3])    # shared file
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    # uncached source decodes every call
+    src2 = ImageFileSource(names, image_path=str(tmp_path), size=8)
+    ImageFileSource._load_path = counting
+    try:
+        decodes.clear()
+        [src2.load_image(i) for i in range(4)]
+    finally:
+        ImageFileSource._load_path = orig
+    assert len(decodes) == 4

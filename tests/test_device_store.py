@@ -1,0 +1,144 @@
+"""Device-resident dataset staging (data.device_store): index loaders,
+HBM gather correctness, and Trainer-path equivalence with the file
+loader. See BASELINE.md "end-to-end epoch" — this is the mechanism that
+lets epoch rate match step rate when H2D bandwidth is the bottleneck."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mae_clip_tpu.data.device_store import (DeviceStore, build_device_store,
+                                            make_index_loader)
+from mae_clip_tpu.train.optim import make_optimizer
+from mae_clip_tpu.train.state import TrainState
+from mae_clip_tpu.train.loop import Trainer, make_train_step
+
+from tests.test_train import TINY_TEXT, TINY_VIT, build, tiny_cfg  # noqa
+
+
+def test_index_loader_matches_file_loader_semantics():
+    """Same (seed, n) shuffle order, coverage, and tail padding as
+    pipeline.make_loader."""
+    n, bs = 10, 4
+    batches = list(make_index_loader(n, bs, shuffle=True, seed=3))
+    assert len(batches) == 3
+    seen = []
+    for b in batches:
+        assert b["indices"].shape == (bs,) and b["indices"].dtype == np.int32
+        assert b["valid"].shape == (bs,)
+        seen.extend(b["indices"][b["valid"]].tolist())
+    assert sorted(seen) == list(range(n))          # each example once
+    assert batches[-1]["valid"].sum() == n % bs    # ragged tail masked
+    expected = np.arange(n)
+    np.random.default_rng(3).shuffle(expected)     # make_loader's shuffle
+    np.testing.assert_array_equal(np.asarray(seen), expected)
+    # drop_last drops the ragged tail entirely
+    assert len(list(make_index_loader(n, bs, drop_last=True))) == 2
+
+
+def test_store_gather_matches_host_indexing():
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(7, 4, 4, 3)).astype(np.uint8)
+    feats = rng.normal(size=(7, 5)).astype(np.float32)
+    store = DeviceStore({"image": jnp.asarray(imgs),
+                         "text_features": jnp.asarray(feats)})
+    idx = jnp.asarray(np.array([3, 0, 6, 3], np.int32))
+    out = store.gather(idx)
+    np.testing.assert_array_equal(np.asarray(out["image"]),
+                                  imgs[[3, 0, 6, 3]])
+    np.testing.assert_array_equal(np.asarray(out["text_features"]),
+                                  feats[[3, 0, 6, 3]])
+    assert store.nbytes == imgs.nbytes + feats.nbytes
+
+
+def test_build_device_store_chunked_upload_and_token_table():
+    class FakeDS:
+        input_ids = np.arange(12, dtype=np.int32).reshape(6, 2)
+        attention_mask = np.ones((6, 2), np.int32)
+
+        def __len__(self):
+            return 6
+
+        def load_image(self, i):
+            return np.full((4, 4, 3), i, np.uint8)
+
+    store = build_device_store(FakeDS(), chunk_bytes=100)  # forces chunks
+    assert store.n == 6
+    np.testing.assert_array_equal(
+        np.asarray(store.arrays["image"])[:, 0, 0, 0], np.arange(6))
+    np.testing.assert_array_equal(np.asarray(store.arrays["input_ids"]),
+                                  FakeDS.input_ids)
+
+
+def test_trainer_device_store_equals_file_path():
+    """Two Trainers — one fed file-style batches, one fed index batches
+    over a device store — produce identical losses and params."""
+    cfg = tiny_cfg(batch_size=4, epochs=1, metric_fetch_every=1)
+    model, variables, _ = build(cfg)
+    rng = np.random.default_rng(1)
+    n = 10
+    images = rng.normal(size=(n, 16, 16, 3)).astype(np.float32)
+    ids = rng.integers(0, 64, size=(n, 12)).astype(np.int32)
+    mask = np.ones((n, 12), np.int32)
+
+    def file_batches():
+        out = []
+        for b in make_index_loader(n, 4):
+            idx, valid = b["indices"], b["valid"]
+            out.append({"image": images[idx], "input_ids": ids[idx],
+                        "attention_mask": mask[idx], "valid": valid})
+        return out
+
+    params0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    t_file = Trainer(cfg, model, jax.tree_util.tree_map(jnp.asarray,
+                                                        params0))
+    m_file = t_file.train_epoch(file_batches())
+
+    store = DeviceStore({"image": jnp.asarray(images),
+                         "input_ids": jnp.asarray(ids),
+                         "attention_mask": jnp.asarray(mask)})
+    t_store = Trainer(cfg, model, jax.tree_util.tree_map(jnp.asarray,
+                                                         params0),
+                      train_store=store, valid_store=store)
+    m_store = t_store.train_epoch(make_index_loader(n, 4))
+
+    assert np.isclose(m_file.avg, m_store.avg, rtol=1e-6), \
+        (m_file.avg, m_store.avg)
+    for a, b in zip(jax.tree_util.tree_leaves(t_file.state.params),
+                    jax.tree_util.tree_leaves(t_store.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # valid_epoch through the store path agrees too
+    v_file = t_file.valid_epoch(file_batches())
+    v_store = t_store.valid_epoch(make_index_loader(n, 4))
+    assert np.isclose(v_file.avg, v_store.avg, rtol=1e-6)
+
+
+def test_store_retrieval_embeddings_match_loader_path():
+    from mae_clip_tpu.eval.retrieval import (
+        compute_image_embeddings, compute_image_embeddings_from_store)
+
+    cfg = tiny_cfg(batch_size=4)
+    model, variables, _ = build(cfg)
+    rng = np.random.default_rng(2)
+    n = 6
+    images = rng.normal(size=(n, 16, 16, 3)).astype(np.float32)
+
+    def loader():
+        for s in range(0, n, 4):
+            chunk = images[s:s + 4]
+            pad = 4 - len(chunk)
+            valid = np.concatenate([np.ones(len(chunk), bool),
+                                    np.zeros(pad, bool)])
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                     chunk.dtype)])
+            yield {"image": chunk, "valid": valid}
+
+    emb_loader = compute_image_embeddings(model, variables, loader())
+    store = DeviceStore({"image": jnp.asarray(images)})
+    emb_store = compute_image_embeddings_from_store(model, variables,
+                                                    store, n, 4)
+    np.testing.assert_allclose(np.asarray(emb_loader),
+                               np.asarray(emb_store), atol=1e-6)
