@@ -185,6 +185,15 @@ class Config:
     # Per-step fetching still happens when something needs the value each
     # batch (scheduler_step="batch", tqdm postfix). 1 = reference behavior.
     metric_fetch_every: int = 16
+    # Device-resident superstep: with device_data, run K train/eval steps
+    # per dispatch (lax.scan over a (K, B) index matrix, batches gathered
+    # on device inside the scan). On a remote/tunneled TPU each dispatch
+    # costs a host round trip (~15-20 ms measured) — at a 26 ms step that
+    # halves throughput; scanning amortizes it to 1/K. 0 = auto (use
+    # metric_fetch_every when the store path is active), 1 = off. Forced
+    # to 1 when something needs per-step host values (scheduler_step=
+    # "batch", tqdm progress).
+    steps_per_call: int = 0
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     global_contrastive: bool = True  # all-gather embeddings for global-batch loss
     loss_chunk_size: int = 0         # 0 = unchunked; >0 = blockwise global loss
@@ -210,6 +219,8 @@ class Config:
             raise ValueError(f"unknown fused_blocks {self.fused_blocks!r}")
         if self.model_name not in ("resnet50", "vit_s16", "vit_b16"):
             raise ValueError(f"unknown model_name {self.model_name!r}")
+        if self.steps_per_call < 0:
+            raise ValueError("steps_per_call must be >= 0")
         if not 0.0 <= self.mae.mask_ratio < 1.0:
             raise ValueError("mask_ratio must be in [0, 1)")
         if self.mae.decoder_style not in ("full", "cross"):

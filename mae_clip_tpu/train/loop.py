@@ -490,6 +490,125 @@ class Trainer:
         self.train_store = train_store
         self.valid_store = valid_store
 
+    # ------------------------------------------------------------------
+    # Device-resident superstep: K steps per dispatch.
+    #
+    # With the dataset staged in HBM (data.device_store) the per-step cost
+    # is no longer H2D or compute — it is the DISPATCH round trip itself
+    # (~15-20 ms on a tunneled TPU vs a 26 ms device step; measured: the
+    # per-step path sustains ~5.8k pairs/s against a 9.7k step rate).
+    # lax.scan over a (K, B) index matrix runs K full optimizer steps in
+    # ONE dispatch, gathering each batch HBM->HBM inside the scan, and
+    # returns the K per-step losses as one array = one value fetch.
+    # Padded tail rows (valid all-False) are skipped via lax.cond so they
+    # cannot touch the optimizer state.
+    # ------------------------------------------------------------------
+    def _superstep_k(self, train: bool) -> int:
+        store = self.train_store if train else self.valid_store
+        if store is None:
+            return 1
+        if train and self.cfg.scheduler_step == "batch":
+            return 1                     # scheduler needs per-step losses
+        if self.progress:
+            return 1                     # tqdm postfix needs them too
+        k = self.cfg.steps_per_call
+        if k == 0:
+            k = max(1, self.cfg.metric_fetch_every)
+        return max(1, k)
+
+    def _get_superstep(self, train: bool):
+        cache_attr = "_sstep_train" if train else "_sstep_eval"
+        fn = getattr(self, cache_attr, None)
+        if fn is not None:
+            return fn
+        step = self.train_step if train else self.eval_step
+        mesh, axis = self.mesh, self.cfg.mesh.axis_names[0]
+
+        def gather(arrays, i, v):
+            batch = {k: jnp.take(a, i, axis=0) for k, a in arrays.items()}
+            batch["valid"] = v
+            if mesh is not None:
+                batch = shard_batch(batch, mesh, axis)
+            return batch
+
+        if train:
+            def sstep(state, arrays, idx, valid):
+                def body(st, iv):
+                    i, v = iv
+
+                    def run(st):
+                        st2, metrics = step(st, gather(arrays, i, v))
+                        return st2, metrics["loss"].astype(jnp.float32)
+
+                    def skip(st):
+                        return st, jnp.zeros((), jnp.float32)
+
+                    return jax.lax.cond(v.any(), run, skip, st)
+
+                return jax.lax.scan(body, state, (idx, valid))
+
+            fn = jax.jit(sstep, donate_argnums=(0,))
+        else:
+            def sstep(state, arrays, idx, valid):
+                def body(_, iv):
+                    i, v = iv
+                    metrics = step(state, gather(arrays, i, v))
+                    return None, metrics["loss"].astype(jnp.float32)
+
+                return jax.lax.scan(body, None, (idx, valid))[1]
+
+            fn = jax.jit(sstep)
+        setattr(self, cache_attr, fn)
+        return fn
+
+    def _epoch_superstep(self, loader, k: int, meter: AvgMeter,
+                         train: bool) -> None:
+        """Drive one epoch through the K-steps-per-dispatch path. Keeps a
+        1-deep pipeline: group g+1 is dispatched before group g's losses
+        are fetched, so the fetch round trip overlaps device compute."""
+        store = self.train_store if train else self.valid_store
+        sstep = self._get_superstep(train)
+        pending = []                       # [(losses (K,) device, counts)]
+
+        def drain():
+            for dev_losses, counts in pending:
+                for v, c in zip(np.asarray(dev_losses), counts):
+                    if c:
+                        meter.update(float(v), c)
+            pending.clear()
+
+        def dispatch(idx_rows, valid_rows):
+            counts = [int(v.sum()) for v in valid_rows]
+            pad = k - len(idx_rows)
+            if pad:
+                idx_rows = idx_rows + [np.zeros_like(idx_rows[0])] * pad
+                valid_rows = (valid_rows
+                              + [np.zeros_like(valid_rows[0])] * pad)
+                counts += [0] * pad
+            idx = jnp.asarray(np.stack(idx_rows))
+            valid = jnp.asarray(np.stack(valid_rows))
+            if train:
+                self.state, losses = sstep(self.state, store.arrays,
+                                           idx, valid)
+            else:
+                losses = sstep(self.state, store.arrays, idx, valid)
+            if pending:
+                drain()                    # previous group; 1-deep overlap
+            pending.append((losses, counts))
+            if train:
+                self.throughput.update(sum(counts))
+
+        idx_rows, valid_rows = [], []
+        for batch in loader:
+            idx_rows.append(np.asarray(batch["indices"]))
+            valid_rows.append(np.asarray(batch["valid"]))
+            if len(idx_rows) == k:
+                dispatch(idx_rows, valid_rows)
+                idx_rows, valid_rows = [], []
+        if idx_rows:
+            dispatch(idx_rows, valid_rows)
+        drain()
+
     def _progress_bar(self, iterable, desc: str):
         """tqdm wrapper (the reference's progress UX, main.py:53,66,81)."""
         if not self.progress:
@@ -539,6 +658,11 @@ class Trainer:
     def train_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
         meter = AvgMeter("train_loss")
         self.throughput.start()
+        k = self._superstep_k(train=True)
+        if k > 1:
+            self._epoch_superstep(loader, k, meter, train=True)
+            self.throughput.stop()
+            return meter
         bar = self._progress_bar(
             self._device_prefetch(loader, store=self.train_store), "train")
         # Device->host value fetches are the only true barrier on a remote
@@ -553,10 +677,7 @@ class Trainer:
         last = {"loss": 0.0}
 
         def drain():
-            for dev_loss, count in pending:
-                last["loss"] = float(dev_loss)
-                meter.update(last["loss"], count)
-            pending.clear()
+            last["loss"] = self._drain_pending(pending, meter, last["loss"])
 
         for raw, batch in bar:
             count = self._count(raw)
@@ -574,18 +695,49 @@ class Trainer:
                                 lr=current_lr(self.cfg, self.state.opt_state,
                                               int(self.state.step)))
         drain()
+        self.throughput.stop()
         return meter
+
+    @staticmethod
+    def _drain_pending(pending, meter: AvgMeter, last: float) -> float:
+        """Fetch all pending (device_loss, count) pairs in ONE device->host
+        round trip (stack on device, one value fetch) and fold them into
+        the meter. A per-scalar ``float()`` loop costs one full tunnel
+        round trip EACH (~70 ms here) — at 26 ms device steps that, not
+        compute, dominated the epoch rate. Returns the newest loss."""
+        if not pending:
+            return last
+        if len(pending) == 1:
+            last = float(pending[0][0])
+            meter.update(last, pending[0][1])
+        else:
+            vals = np.asarray(jnp.stack([l for l, _ in pending]))
+            for v, (_, count) in zip(vals, pending):
+                last = float(v)
+                meter.update(last, count)
+        pending.clear()
+        return last
 
     def valid_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
         meter = AvgMeter("valid_loss")
+        k = self._superstep_k(train=False)
+        if k > 1:
+            self._epoch_superstep(loader, k, meter, train=False)
+            return meter
         bar = self._progress_bar(loader, "valid")
+        fetch_every = 1 if self.progress else max(
+            1, self.cfg.metric_fetch_every)
+        pending = []
         for batch in bar:
             count = self._count(batch)
             metrics = self.eval_step(
                 self.state, self._prepare(batch, store=self.valid_store))
-            meter.update(float(metrics["loss"]), count)
+            pending.append((metrics["loss"], count))
+            if len(pending) >= fetch_every:
+                self._drain_pending(pending, meter, 0.0)
             if self.progress and hasattr(bar, "set_postfix"):
                 bar.set_postfix(valid_loss=meter.avg)
+        self._drain_pending(pending, meter, 0.0)
         return meter
 
     def _scheduler_step(self, metric: float) -> None:

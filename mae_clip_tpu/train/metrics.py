@@ -42,10 +42,20 @@ class Throughput:
         self.num_chips = max(num_chips, 1)
         self._t0: Optional[float] = None
         self._examples = 0
+        self._frozen_dt: Optional[float] = None
 
     def start(self) -> None:
         self._t0 = time.perf_counter()
         self._examples = 0
+        self._frozen_dt = None
+
+    def stop(self) -> None:
+        """Freeze the window (call at train-epoch end, AFTER the final
+        metric drain so the clock covers real device work): reads taken
+        later — e.g. ``Trainer.fit`` logging after the valid epoch — keep
+        the train-epoch rate instead of diluting dt with eval time."""
+        if self._t0 is not None:
+            self._frozen_dt = time.perf_counter() - self._t0
 
     def update(self, batch_examples: int) -> None:
         if self._t0 is None:
@@ -56,7 +66,8 @@ class Throughput:
     def examples_per_sec(self) -> float:
         if self._t0 is None or self._examples == 0:
             return 0.0
-        dt = time.perf_counter() - self._t0
+        dt = (self._frozen_dt if self._frozen_dt is not None
+              else time.perf_counter() - self._t0)
         return self._examples / max(dt, 1e-9)
 
     @property

@@ -142,3 +142,58 @@ def test_store_retrieval_embeddings_match_loader_path():
                                                     store, n, 4)
     np.testing.assert_allclose(np.asarray(emb_loader),
                                np.asarray(emb_store), atol=1e-6)
+
+
+def test_superstep_equals_per_step_path():
+    """steps_per_call>1 (lax.scan over K steps per dispatch, padded tail
+    skipped via cond) must produce identical params and losses to the
+    per-step store path (train/loop.py superstep)."""
+    n = 10
+    rng = np.random.default_rng(7)
+    images = rng.normal(size=(n, 16, 16, 3)).astype(np.float32)
+    ids = rng.integers(0, 64, size=(n, 12)).astype(np.int32)
+    mask = np.ones((n, 12), np.int32)
+    store = DeviceStore({"image": jnp.asarray(images),
+                         "input_ids": jnp.asarray(ids),
+                         "attention_mask": jnp.asarray(mask)})
+
+    cfg1 = tiny_cfg(batch_size=4, epochs=1, steps_per_call=1)
+    model, variables, _ = build(cfg1)
+    params0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    t1 = Trainer(cfg1, model, jax.tree_util.tree_map(jnp.asarray, params0),
+                 train_store=store, valid_store=store)
+    m1 = t1.train_epoch(make_index_loader(n, 4))
+
+    # k=2 over 3 batches: one full group + one padded tail group
+    cfg2 = tiny_cfg(batch_size=4, epochs=1, steps_per_call=2)
+    t2 = Trainer(cfg2, model, jax.tree_util.tree_map(jnp.asarray, params0),
+                 train_store=store, valid_store=store)
+    assert t2._superstep_k(train=True) == 2
+    m2 = t2.train_epoch(make_index_loader(n, 4))
+
+    assert np.isclose(m1.avg, m2.avg, rtol=1e-6), (m1.avg, m2.avg)
+    assert m1.count == m2.count == n
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(t2.state.step) == 3        # padded row did NOT step
+
+    v1 = t1.valid_epoch(make_index_loader(n, 4))
+    v2 = t2.valid_epoch(make_index_loader(n, 4))
+    assert np.isclose(v1.avg, v2.avg, rtol=1e-6)
+    assert v1.count == v2.count == n
+
+
+def test_superstep_forced_off_for_batch_scheduler_and_progress():
+    cfg = tiny_cfg(batch_size=4, scheduler_step="batch", steps_per_call=8)
+    model, variables, _ = build(cfg)
+    store = DeviceStore({"image": jnp.zeros((4, 16, 16, 3))})
+    t = Trainer(cfg, model, variables["params"], train_store=store)
+    assert t._superstep_k(train=True) == 1
+    cfg2 = tiny_cfg(batch_size=4, steps_per_call=8)
+    t2 = Trainer(cfg2, model, variables["params"], train_store=store,
+                 progress=True)
+    assert t2._superstep_k(train=True) == 1
+    t3 = Trainer(cfg2, model, variables["params"])  # no store
+    assert t3._superstep_k(train=True) == 1

@@ -87,3 +87,23 @@ def test_trace_top_ops(tmp_path):
     assert all("CPU" not in r["process"] for r in rows)
     host = trace_top_ops(str(tmp_path), device_only=False)
     assert any(r["name"] == "hostwork" for r in host)
+
+
+def test_throughput_stop_freezes_window():
+    """Trainer.fit reads the scalar after the valid epoch; stop() at
+    train-epoch end must pin dt to the train window (train/metrics.py)."""
+    import time
+
+    from mae_clip_tpu.train.metrics import Throughput
+
+    tp = Throughput(num_chips=2)
+    tp.start()
+    tp.update(100)
+    tp.stop()
+    frozen = tp.examples_per_sec
+    time.sleep(0.05)
+    assert tp.examples_per_sec == frozen          # later reads unchanged
+    assert tp.examples_per_sec_per_chip == frozen / 2
+    tp.start()                                     # next epoch resets
+    tp.update(10)
+    assert tp.examples_per_sec != frozen
