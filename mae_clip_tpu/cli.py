@@ -517,15 +517,31 @@ def cmd_mae_pretrain(args) -> None:
     model = mae_vit_for(cfg, attn_impl=attn)
     patch = model.config.patch_size
 
+    # Input geometry. Host mode (the torchvision-faithful path) ships
+    # cfg.size patchified uint8 and crops on the host per epoch. Device
+    # mode (ops/augment.py) decodes ONCE at mae.aug_source_size fixed
+    # geometry — cacheable (cache_images) and HBM-stageable (device_data)
+    # — and samples RandomResizedCrop+flip inside the jitted step, which
+    # removes the per-epoch host decode (~75-150 img/s on one core) from
+    # the input path. --no-augment keeps fixed geometry either way.
+    device_aug = args.augment and (cfg.device_data
+                                   or args.augment_mode == "device")
+    if device_aug:
+        src_size, src_patch = cfg.mae.aug_source_size, None
+    else:
+        src_size, src_patch = cfg.size, patch
+
     dataset = ImageDataset.from_directory(
-        args.images, size=cfg.size, raw_uint8=True, patchify_size=patch)
+        args.images, size=src_size, raw_uint8=True, patchify_size=src_patch,
+        cache=cfg.cache_images and not (args.augment and not device_aug))
     # Seeded holdout split for the best-val checkpoint policy.
     n = len(dataset)
     order = np.random.default_rng(cfg.seed).permutation(n)
     n_val = max(1, int(n * args.val_fraction)) if n > 1 else 0
     files = np.asarray(dataset.image_filenames)
-    mk = lambda idx: ImageDataset(files[idx].tolist(), size=cfg.size,
-                                  raw_uint8=True, patchify_size=patch)
+    mk = lambda idx: ImageDataset(files[idx].tolist(), size=src_size,
+                                  raw_uint8=True, patchify_size=src_patch,
+                                  cache=dataset._img_cache is not None)
     train_ds = mk(order[n_val:]) if n_val else dataset
     valid_ds = mk(order[:n_val]) if n_val else dataset
     cfg = _with_computed_decay_steps(cfg, len(train_ds))
@@ -534,29 +550,56 @@ def cmd_mae_pretrain(args) -> None:
     if len(jax.devices()) > 1:
         mesh = mesh_from_config(cfg.mesh)
 
-    example = next(make_image_loader(train_ds, cfg.batch_size,
-                                     num_threads=1))
-    init_img = np.zeros(example["image"].shape, np.float32)
+    if device_aug:
+        init_img = np.zeros((cfg.batch_size, src_size, src_size, 3),
+                            np.uint8)
+    else:
+        example = next(make_image_loader(train_ds, cfg.batch_size,
+                                         num_threads=1))
+        init_img = np.zeros(example["image"].shape, np.float32)
     variables = jax.jit(
         lambda r, b: model.init(r, b, jax.random.PRNGKey(1))
     )(jax.random.PRNGKey(cfg.seed), init_img)
+
+    train_store = valid_store = None
+    if cfg.device_data:
+        from mae_clip_tpu.data.device_store import build_device_store
+        train_store = build_device_store(train_ds)
+        valid_store = build_device_store(valid_ds)
+        print(f"device-resident data: "
+              f"{(train_store.nbytes + valid_store.nbytes) / 2**20:.0f} MiB "
+              f"staged in HBM ({train_store.n} train + {valid_store.n} "
+              f"valid images)")
 
     mngr = CheckpointManager(cfg.checkpoints)
     writer = MetricWriter(cfg.logdir)
     trainer = Trainer(cfg, model, variables["params"], mesh=mesh,
                       checkpoint_manager=mngr, writer=writer,
                       progress=getattr(args, "progress", True),
-                      objective="mae")
+                      objective="mae",
+                      train_store=train_store, valid_store=valid_store)
 
     epoch_seed = [cfg.seed]
 
-    def train_loader():
-        epoch_seed[0] += 1
-        return make_image_loader(train_ds, cfg.batch_size, shuffle=True,
-                                 seed=epoch_seed[0], augment=args.augment)
+    if cfg.device_data:
+        from mae_clip_tpu.data.device_store import make_index_loader
 
-    def valid_loader():
-        return make_image_loader(valid_ds, cfg.batch_size)
+        def train_loader():
+            epoch_seed[0] += 1
+            return make_index_loader(len(train_ds), cfg.batch_size,
+                                     shuffle=True, seed=epoch_seed[0])
+
+        def valid_loader():
+            return make_index_loader(len(valid_ds), cfg.batch_size)
+    else:
+        def train_loader():
+            epoch_seed[0] += 1
+            return make_image_loader(train_ds, cfg.batch_size, shuffle=True,
+                                     seed=epoch_seed[0],
+                                     augment=args.augment and not device_aug)
+
+        def valid_loader():
+            return make_image_loader(valid_ds, cfg.batch_size)
 
     history = trainer.fit(train_loader, valid_loader)
     mngr.wait()
@@ -704,6 +747,13 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--augment", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="RandomResizedCrop+flip (MAE-paper augmentation)")
+    p.add_argument("--augment-mode", choices=("host", "device"),
+                   default="host",
+                   help="host: torchvision-faithful per-epoch host crops; "
+                        "device: decode once at mae.aug_source_size, crop "
+                        "inside the jitted step (ops/augment.py — removes "
+                        "the host decode bottleneck; implied by "
+                        "device_data=true)")
     p.add_argument("--progress", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="tqdm progress bars; --no-progress also lets the "

@@ -38,6 +38,12 @@ class MAEConfig:
     # parity constraint on the never-shipped decoder) or "erf" (torch GELU).
     decoder_gelu: str = "tanh"
     norm_pix_loss: bool = True
+    # On-device augmentation source geometry (ops/augment.py): the MAE
+    # input path decodes each image ONCE at this fixed square size
+    # (cacheable / HBM-stageable) and samples RandomResizedCrop+flip to
+    # ``size`` inside the jitted train step. >size keeps real
+    # down-sampling diversity in the crops.
+    aug_source_size: int = 256
     # Joint objective weight: L = L_infonce + lambda * L_mae.
     loss_weight: float = 1.0
     # Decoder attention impl override (None = inherit the model-wide one):

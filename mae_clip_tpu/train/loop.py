@@ -332,7 +332,25 @@ def _mae_images_and_forward(model, params, batch, rng, train: bool,
                             cfg: Config):
     """Shared forward for the image-only MAE objective."""
     images = batch["image"]
-    if images.dtype == jnp.uint8:
+    if images.ndim == 4 and images.shape[1] != cfg.size:
+        # Device-side augmentation (ops/augment.py): the loader/store
+        # ships fixed-geometry uint8 sources at mae.aug_source_size; a
+        # fresh RandomResizedCrop+flip is sampled per step INSIDE the
+        # jitted step (train), deterministic full-frame resize on eval.
+        # This removes the per-epoch host decode+crop (~75-150 img/s on
+        # one core) from the input path entirely and composes with
+        # device_data + supersteps.
+        from mae_clip_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+        from mae_clip_tpu.ops.augment import (
+            random_resized_crop_flip_batch, resize_batch)
+        if train:
+            images = random_resized_crop_flip_batch(
+                images, jax.random.fold_in(rng, 3), cfg.size)
+        else:
+            images = resize_batch(images, cfg.size)
+        images = ((images / 255.0 - jnp.asarray(IMAGENET_MEAN))
+                  / jnp.asarray(IMAGENET_STD))
+    elif images.dtype == jnp.uint8:
         from mae_clip_tpu.data.images import normalize_uint8
         images = normalize_uint8(images)
     rngs = {"dropout": jax.random.fold_in(rng, 1)} if train else {}

@@ -335,3 +335,97 @@ def test_mae_trainer_resume_continues_identically(tmp_path):
     np.testing.assert_allclose(resumed["valid_loss"][0],
                                straight["valid_loss"][2], rtol=1e-6)
     tr.checkpoint_manager.close()
+
+
+def test_device_augment_step_crops_inside_step():
+    """(B, src, src, 3) uint8 batches with src != cfg.size route through
+    ops/augment.py inside the jitted step: train crops randomly per step,
+    eval resizes deterministically (train/loop._mae_images_and_forward)."""
+    cfg = tiny_cfg()
+    model, tx, state = make_model_and_state(cfg)
+    step = make_mae_pretrain_step(model, tx, cfg)
+    eval_step = make_mae_eval_step(model, cfg)
+    rng = np.random.default_rng(0)
+    src = 48  # != cfg.size == 32
+    batch = {"image": jnp.asarray(rng.integers(
+                 0, 256, size=(4, src, src, 3)).astype(np.uint8)),
+             "valid": jnp.ones((4,), bool)}
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]          # learns through the crop
+    # Same batch, different steps -> different crops -> different losses.
+    assert len({round(l, 8) for l in losses}) == len(losses)
+    # Eval: deterministic in state (same step counter -> same value).
+    e1 = float(eval_step(state, batch)["loss"])
+    e2 = float(eval_step(state, batch)["loss"])
+    assert np.isfinite(e1) and e1 == e2
+
+
+def test_cli_mae_pretrain_device_data_and_device_augment(tmp_path):
+    """mae-pretrain over an HBM-staged store: index loaders + supersteps +
+    in-step augmentation (device_data=true implies device crops)."""
+    import cv2
+    import json as _json
+
+    from mae_clip_tpu import cli
+
+    rng = np.random.default_rng(5)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(10):
+        cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                    rng.integers(0, 255, size=(56, 56, 3)).astype(np.uint8))
+
+    run_dir = tmp_path / "run"
+    cli.main([
+        "mae-pretrain", "--images", str(img_dir),
+        "--val-fraction", "0.3", "--no-progress",
+        "--set", "batch_size=8", "--set", "epochs=2", "--set", "size=32",
+        "--set", "device_data=true", "--set", "steps_per_call=2",
+        "--set", "mae.aug_source_size=48",
+        "--set", "compute_dtype=float32", "--set", "gelu_impl=null",
+        "--set", "image_heads=null",
+        "--set", "mae.decoder_dim=16", "--set", "mae.decoder_depth=1",
+        "--set", "mae.decoder_heads=2",
+        "--set", f"checkpoints={run_dir}",
+        "--set", f"logdir={tmp_path / 'logs'}",
+    ])
+    assert any(d.name.isdigit() for d in run_dir.iterdir())
+    lines = [_json.loads(l) for l in
+             open(tmp_path / "logs" / "metrics.jsonl")]
+    assert len(lines) == 2
+    assert all(np.isfinite(l["loss/train"]) for l in lines)
+
+
+def test_cli_mae_pretrain_device_augment_file_loader(tmp_path):
+    """--augment-mode device without device_data: the file loader ships
+    fixed-geometry uint8 sources (cacheable) and crops happen in-step."""
+    import cv2
+
+    from mae_clip_tpu import cli
+
+    rng = np.random.default_rng(6)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(6):
+        cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                    rng.integers(0, 255, size=(56, 56, 3)).astype(np.uint8))
+
+    run_dir = tmp_path / "run"
+    cli.main([
+        "mae-pretrain", "--images", str(img_dir),
+        "--val-fraction", "0.34", "--augment-mode", "device",
+        "--no-progress",
+        "--set", "batch_size=8", "--set", "epochs=1", "--set", "size=32",
+        "--set", "cache_images=true", "--set", "mae.aug_source_size=48",
+        "--set", "compute_dtype=float32", "--set", "gelu_impl=null",
+        "--set", "image_heads=null",
+        "--set", "mae.decoder_dim=16", "--set", "mae.decoder_depth=1",
+        "--set", "mae.decoder_heads=2",
+        "--set", f"checkpoints={run_dir}",
+        "--set", f"logdir={tmp_path / 'logs'}",
+    ])
+    assert any(d.name.isdigit() for d in run_dir.iterdir())
