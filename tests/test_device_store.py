@@ -197,3 +197,48 @@ def test_superstep_forced_off_for_batch_scheduler_and_progress():
     assert t2._superstep_k(train=True) == 1
     t3 = Trainer(cfg2, model, variables["params"])  # no store
     assert t3._superstep_k(train=True) == 1
+
+
+def test_superstep_over_mesh_matches_single_device():
+    """DP mesh + device store + steps_per_call>1: the in-scan shard_batch
+    (device_put-with-sharding is traceable as a constraint) must preserve
+    exact per-step semantics vs the meshless superstep."""
+    from mae_clip_tpu.parallel.mesh import mesh_from_config
+
+    n, bs = 16, 8
+    rng = np.random.default_rng(9)
+    images = rng.normal(size=(n, 16, 16, 3)).astype(np.float32)
+    ids = rng.integers(0, 64, size=(n, 12)).astype(np.int32)
+    mask = np.ones((n, 12), np.int32)
+    store = DeviceStore({"image": jnp.asarray(images),
+                         "input_ids": jnp.asarray(ids),
+                         "attention_mask": jnp.asarray(mask)})
+
+    model, variables, _ = build(tiny_cfg(batch_size=bs))
+    params0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+    mesh = mesh_from_config(tiny_cfg(batch_size=bs).mesh)
+    assert len(mesh.devices.flatten()) == 8
+
+    # Same mesh, K=1 vs K=2: isolates the superstep mechanics (in-scan
+    # gather + shard_batch + cond tail) from mesh-reduction float noise
+    # (which legitimately compounds across Adam steps and is covered by
+    # test_train.test_mesh_step_matches_single_device at the step level).
+    results = {}
+    for k in (1, 2):
+        cfg = tiny_cfg(batch_size=bs, epochs=1, steps_per_call=k)
+        t = Trainer(cfg, model,
+                    jax.tree_util.tree_map(jnp.asarray, params0),
+                    mesh=mesh, train_store=store, valid_store=store)
+        assert t._superstep_k(train=True) == k
+        m = t.train_epoch(make_index_loader(n, bs))
+        v = t.valid_epoch(make_index_loader(n, bs))
+        results[k] = (m, v, t.state)
+
+    m1, v1, s1 = results[1]
+    m2, v2, s2 = results[2]
+    assert np.isclose(m1.avg, m2.avg, rtol=1e-6), (m1.avg, m2.avg)
+    assert np.isclose(v1.avg, v2.avg, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
