@@ -134,6 +134,13 @@ class Config:
     lr_schedule: str = "constant"    # "constant" | "cosine"
     warmup_steps: int = 0
     decay_steps: int = 0
+    # Global-norm gradient clipping applied to the raw grads BEFORE the
+    # per-group AdamW transforms (torch semantics: clip_grad_norm_ then
+    # optimizer.step()). 0 disables (the reference never clips). The norm
+    # is taken over TRAINABLE leaves only — frozen towers still receive
+    # real (discarded) grads from the joint backward, and torch would
+    # never count requires_grad=False params in the clip norm.
+    grad_clip_norm: float = 0.0
 
     # --- TPU-native fields ---
     # Tower GELU override: None keeps each tower's parity-exact erf GELU
@@ -200,6 +207,13 @@ class Config:
     # to 1 when something needs per-step host values (scheduler_step=
     # "batch", tqdm progress).
     steps_per_call: int = 0
+    # Checkpoint cadence: best-val epochs are ALWAYS saved (the
+    # reference's only policy, main.py:118-122), plus every N epochs and
+    # the final epoch. 0 disables saving entirely (throwaway/bench runs).
+    # On a remote TPU a full-TrainState save streams ~0.7 GB (flagship)
+    # device->host; async Orbax overlaps it with the NEXT epoch's
+    # compute, but it contends for tunnel bandwidth.
+    checkpoint_every: int = 1
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     global_contrastive: bool = True  # all-gather embeddings for global-batch loss
     loss_chunk_size: int = 0         # 0 = unchunked; >0 = blockwise global loss

@@ -830,7 +830,14 @@ class Trainer:
             is_best = valid_meter.avg < self.best_loss
             if is_best:
                 self.best_loss = valid_meter.avg
-            if self.checkpoint_manager is not None:
+            # Cadence (cfg.checkpoint_every): best-val epochs always saved
+            # (reference main.py:118-122 saves ONLY on best), plus every N
+            # epochs and the final one; 0 disables saving.
+            last = (epochs if epochs is not None else cfg.epochs) - 1
+            every = cfg.checkpoint_every
+            due = every > 0 and (is_best or epoch == last
+                                 or (epoch + 1) % every == 0)
+            if self.checkpoint_manager is not None and due:
                 self.checkpoint_manager.save(
                     epoch=epoch, state=self.state,
                     metrics={"valid_loss": valid_meter.avg},

@@ -242,3 +242,38 @@ def test_superstep_over_mesh_matches_single_device():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
+
+
+def test_checkpoint_every_cadence(tmp_path):
+    """checkpoint_every: 0 disables saves; N saves best/final/every-N
+    (best-val always saved — the reference's only policy,
+    main.py:118-122)."""
+    from mae_clip_tpu.train.checkpoint import CheckpointManager
+
+    n = 8
+    rng = np.random.default_rng(3)
+    store = DeviceStore({
+        "image": jnp.asarray(rng.normal(size=(n, 16, 16, 3))
+                             .astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 64, size=(n, 12))
+                                 .astype(np.int32)),
+        "attention_mask": jnp.asarray(np.ones((n, 12), np.int32))})
+
+    def run(every, epochs, sub):
+        cfg = tiny_cfg(batch_size=4, epochs=epochs,
+                       checkpoint_every=every,
+                       checkpoints=str(tmp_path / sub))
+        model, variables, _ = build(cfg)
+        mngr = CheckpointManager(cfg.checkpoints)
+        t = Trainer(cfg, model, variables["params"],
+                    checkpoint_manager=mngr,
+                    train_store=store, valid_store=store)
+        t.fit(lambda: make_index_loader(n, 4),
+              lambda: make_index_loader(n, 4))
+        mngr.wait()
+        return sorted(int(d.name) for d in (tmp_path / sub).iterdir()
+                      if d.name.isdigit())
+
+    assert run(0, 3, "none") == []                    # disabled
+    saved = run(5, 3, "final")                        # no every-N hit
+    assert 2 in saved                                 # final epoch saved
