@@ -710,6 +710,81 @@ def cmd_export_pth(args) -> None:
     print(json.dumps({"out": args.out, "tensors": len(sd)}))
 
 
+def cmd_embed(args) -> None:
+    """Bulk embedding export to ``.npz`` (new capability; the reference
+    embeds one query at a time, inference.py:29-47): encode a directory
+    of images and/or a file of texts (one per line) into L2-normalized
+    projection-space arrays for offline indexing / ANN ingestion."""
+    import os
+
+    import numpy as np
+
+    from mae_clip_tpu.train.checkpoint import load_variables
+
+    cfg = _load_config(args)
+    if not (args.images or args.texts):
+        raise SystemExit("pass --images DIR and/or --texts FILE")
+    tokenizer = _tokenizer(cfg) if args.texts else None
+    model, _ = _build_model(
+        cfg, vocab_size=tokenizer.vocab_size if tokenizer else None)
+    variables = load_variables(args.checkpoint, cfg)
+
+    from mae_clip_tpu.ops.retrieval import l2_normalize
+    out, report = {}, {"output": args.output}
+    if args.images:
+        from mae_clip_tpu.eval.retrieval import compute_image_embeddings
+        from mae_clip_tpu.eval.zeroshot import image_label_loader
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        paths = sorted(
+            os.path.join(args.images, f) for f in os.listdir(args.images)
+            if f.lower().endswith(exts))
+        if not paths:
+            raise SystemExit(f"no images under {args.images}")
+        emb = compute_image_embeddings(
+            model, variables,
+            image_label_loader(paths, [0] * len(paths), cfg.size,
+                               cfg.batch_size))
+        out["image_embeddings"] = np.asarray(l2_normalize(emb))
+        out["image_files"] = np.asarray(
+            [os.path.basename(p) for p in paths])
+        report["images"] = len(paths)
+    if args.texts:
+        import jax
+        import jax.numpy as jnp
+        with open(args.texts) as f:
+            texts = [ln.strip() for ln in f if ln.strip()]
+        if not texts:
+            raise SystemExit(f"no non-empty lines in {args.texts}")
+
+        @jax.jit
+        def embed_text(variables, ids, mask):
+            feats = model.apply(variables, ids, mask,
+                                method=model.encode_text)
+            return model.apply(variables, feats, method=model.project_text)
+
+        chunks = []
+        bs = cfg.batch_size
+        for s in range(0, len(texts), bs):
+            chunk = texts[s:s + bs]
+            # pad the ragged tail + pin the width: one static shape ->
+            # one compiled executable across all chunks
+            padded = chunk + [""] * (bs - len(chunk))
+            enc = tokenizer.encode_batch(padded, max_length=cfg.max_length,
+                                         fixed_length=cfg.max_length)
+            e = embed_text(variables,
+                           jnp.asarray(enc["input_ids"], jnp.int32),
+                           jnp.asarray(enc["attention_mask"], jnp.int32))
+            chunks.append(np.asarray(e)[:len(chunk)])
+        out["text_embeddings"] = np.asarray(
+            l2_normalize(jnp.asarray(np.concatenate(chunks, axis=0))))
+        out["texts"] = np.asarray(texts)
+        report["texts"] = len(texts)
+    np.savez(args.output, **out)
+    report["dim"] = int(next(
+        v.shape[-1] for k, v in out.items() if k.endswith("embeddings")))
+    print(json.dumps(report))
+
+
 # ---------------------------------------------------------------------------
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -831,6 +906,16 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="export the ViT image encoder as a timm "
                         "VisionTransformer state_dict")
     p.set_defaults(fn=cmd_export_pth)
+
+    p = sub.add_parser("embed",
+                       help="bulk-export L2-normalized embeddings to .npz "
+                            "(images dir and/or texts file)")
+    _add_config_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--images", help="directory of images to encode")
+    p.add_argument("--texts", help="text file, one caption per line")
+    p.add_argument("--output", required=True, help=".npz output path")
+    p.set_defaults(fn=cmd_embed)
 
     p = sub.add_parser("serve", help="HTTP embedding/retrieval server")
     _add_config_args(p)

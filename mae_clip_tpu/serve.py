@@ -258,6 +258,12 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
                 if self.path == "/embed_text":
                     emb = service.embed_text(req["texts"])
                     self._send(200, {"embeddings": emb.tolist()})
+                elif self.path == "/embed_image":
+                    imgs = np.asarray(req["images"], dtype=np.float32)
+                    if imgs.ndim == 3:       # single (H, W, C) image
+                        imgs = imgs[None]
+                    emb = service.embed_images(imgs)
+                    self._send(200, {"embeddings": emb.tolist()})
                 elif self.path == "/retrieve":
                     self._send(200, service.retrieve(req["query"],
                                                      int(req.get("n", 9))))

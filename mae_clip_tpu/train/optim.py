@@ -55,6 +55,36 @@ def scale_by_dynamic() -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def clip_by_trainable_global_norm(max_norm: float, mask: Any
+                                  ) -> optax.GradientTransformation:
+    """Global-norm clip where the norm counts TRAINABLE leaves only.
+
+    The joint backward materializes real grads for frozen towers (they are
+    discarded by ``multi_transform``'s ``set_to_zero``), so a plain
+    ``optax.clip_by_global_norm`` would let a frozen tower inflate the norm
+    and over-clip the trainable updates — torch never counts
+    ``requires_grad=False`` params. Scale matches torch
+    ``clip_grad_norm_``: ``min(1, max_norm / (norm + 1e-6))``.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        sq = jax.tree_util.tree_map(
+            lambda g, t: jnp.sum(jnp.square(g.astype(jnp.float32)))
+            if t else jnp.zeros((), jnp.float32), updates, mask)
+        norm = jnp.sqrt(sum(jax.tree_util.tree_leaves(sq)))
+        scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+        updates = jax.tree_util.tree_map(
+            lambda g: g * scale.astype(g.dtype), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
                     for k in path)
@@ -141,7 +171,12 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
         raise ValueError(f"unknown recipe {cfg.recipe!r}")
 
     labels = param_groups(cfg, params)
+    pre = []
+    if cfg.grad_clip_norm > 0:
+        pre.append(clip_by_trainable_global_norm(
+            cfg.grad_clip_norm, trainable_mask(cfg, params)))
     return optax.chain(
+        *pre,
         optax.multi_transform(transforms, labels),
         scale_by_dynamic(),
     )

@@ -153,3 +153,67 @@ def test_cli_data_shards_and_shard_training(tmp_path, capsys):
         capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(result["final_train_loss"])
     assert any(d.name.isdigit() for d in run_dir.iterdir())
+
+
+def test_cli_embed_exports_npz(tmp_path, capsys):
+    """`cli embed` bulk-exports unit-norm image+text embeddings to .npz
+    (ragged tails on both modalities; checkpoint in the bare
+    StandardCheckpointer form that `import-pth` writes)."""
+    import cv2
+    import jax
+    import orbax.checkpoint as ocp
+
+    from mae_clip_tpu.config import Config
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(5):
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"),
+                    rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8))
+    texts = tmp_path / "texts.txt"
+    texts.write_text("a red dog\n\na blue cat\nfish\n")  # blank line skipped
+    captions = tmp_path / "captions.csv"
+    captions.write_text("image,caption\nim0.jpg,a red dog and a blue cat\n")
+    vocab = tmp_path / "vocab.txt"
+    cli.main(["build-vocab", str(captions), str(vocab),
+              "--vocab-size", "64"])
+    capsys.readouterr()
+
+    sets = ["--set", f"vocab_file={vocab}", "--set", "model_name=vit_s16",
+            "--set", "image_embedding=384", "--set", "size=32",
+            "--set", "batch_size=4", "--set", "max_length=8",
+            "--set", "compute_dtype=float32"]
+    cfg = Config(model_name="vit_s16", image_embedding=384, size=32,
+                 batch_size=4, max_length=8, compute_dtype="float32",
+                 vocab_file=str(vocab))
+    tok = WordPieceTokenizer.from_vocab_file(str(vocab))
+    model, _ = cli._build_model(cfg, vocab_size=tok.vocab_size)
+    batch = {"image": np.zeros((4, 32, 32, 3), np.float32),
+             "input_ids": np.zeros((4, 8), np.int32),
+             "attention_mask": np.ones((4, 8), np.int32)}
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, mask_rng=jax.random.PRNGKey(1))
+    )(jax.random.PRNGKey(0), batch)
+    ckpt = tmp_path / "ckpt"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(ckpt), {"params": variables["params"]})
+    ckptr.wait_until_finished()
+
+    out = tmp_path / "emb.npz"
+    cli.main(["embed", "--checkpoint", str(ckpt), "--images", str(img_dir),
+              "--texts", str(texts), "--output", str(out), *sets])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["images"] == 5 and report["texts"] == 3
+    assert report["dim"] == 256
+
+    z = np.load(out)
+    assert z["image_embeddings"].shape == (5, 256)
+    assert z["text_embeddings"].shape == (3, 256)
+    np.testing.assert_allclose(
+        np.linalg.norm(z["image_embeddings"], axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(z["text_embeddings"], axis=1), 1.0, atol=1e-5)
+    assert list(z["image_files"]) == [f"im{i}.jpg" for i in range(5)]
+    assert list(z["texts"]) == ["a red dog", "a blue cat", "fish"]

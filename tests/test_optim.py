@@ -174,3 +174,48 @@ def test_cosine_schedule_requires_decay_steps():
         make_optimizer(cfg, _fake_clip_params())
     with pytest.raises(ValueError, match="lr_schedule"):
         Config(lr_schedule="nope").validate()
+
+
+def test_grad_clip_matches_torch_clip_grad_norm():
+    """grad_clip_norm == torch ``clip_grad_norm_`` + AdamW over trainable
+    params; frozen-tower grads (materialized by the joint backward, huge
+    here on purpose) must NOT inflate the clip norm."""
+    cfg = Config(recipe="py", lr=1e-3, weight_decay=1e-3, trainable=True,
+                 text_trainable=False, grad_clip_norm=0.5)
+    rng = np.random.default_rng(1)
+    w_img = rng.normal(size=(4, 4)).astype(np.float32)
+    w_frozen = rng.normal(size=(4, 4)).astype(np.float32)
+    params = {
+        "image_encoder": {"block_0": {"kernel": jnp.array(w_img)}},
+        "text_encoder": {"model": {"layer_0": {"kernel": jnp.array(w_frozen)}}},
+    }
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
+    t_w = torch.tensor(w_img.copy(), requires_grad=True)
+    t_opt = torch.optim.AdamW([t_w], lr=1e-3, weight_decay=1e-3)
+
+    for step in range(6):
+        # alternate clip-active (big) and clip-inactive (small) steps
+        g = rng.normal(size=(4, 4)).astype(np.float32) * (
+            10.0 if step % 2 else 0.01)
+        g_frozen = rng.normal(size=(4, 4)).astype(np.float32) * 100.0
+        grads = {
+            "image_encoder": {"block_0": {"kernel": jnp.array(g)}},
+            "text_encoder": {"model": {"layer_0": {"kernel":
+                                                   jnp.array(g_frozen)}}},
+        }
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+        t_opt.zero_grad()
+        t_w.grad = torch.tensor(g)
+        torch.nn.utils.clip_grad_norm_([t_w], 0.5)
+        t_opt.step()
+
+    np.testing.assert_allclose(
+        np.asarray(params["image_encoder"]["block_0"]["kernel"]),
+        t_w.detach().numpy(), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(params["text_encoder"]["model"]["layer_0"]["kernel"]),
+        w_frozen)

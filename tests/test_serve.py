@@ -83,6 +83,16 @@ def test_http_server_endpoints(service):
     emb = post("/embed_text", {"texts": ["a red square"]})
     assert len(emb["embeddings"][0]) == 8
 
+    rng_img = np.random.default_rng(3)
+    img = rng_img.normal(size=(16, 16, 3)).tolist()
+    one = post("/embed_image", {"images": img})          # single (H,W,C)
+    batch = post("/embed_image", {"images": [img, img]})  # (N,H,W,C)
+    assert len(one["embeddings"]) == 1
+    assert len(one["embeddings"][0]) == 8
+    # different batch shape -> different executable; equal to fp tolerance
+    np.testing.assert_allclose(batch["embeddings"][0],
+                               one["embeddings"][0], atol=1e-5)
+
     ret = post("/retrieve", {"query": "a blue circle", "n": 2})
     assert len(ret["matches"]) == 2
 
