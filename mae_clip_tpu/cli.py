@@ -526,6 +526,17 @@ def cmd_mae_pretrain(args) -> None:
     # the input path. --no-augment keeps fixed geometry either way.
     device_aug = args.augment and (cfg.device_data
                                    or args.augment_mode == "device")
+    if device_aug and cfg.mae.aug_source_size == cfg.size:
+        # The jitted step dispatches on geometry (source != cfg.size);
+        # equal sizes would silently skip the crop+flip entirely.
+        raise SystemExit(
+            f"device augmentation needs mae.aug_source_size != size "
+            f"(both are {cfg.size}): the raw source must be larger than "
+            f"the crop so the in-step RandomResizedCrop has room to "
+            f"sample (and so the step can tell sources from "
+            f"preprocessed batches). Set --set mae.aug_source_size="
+            f"{max(cfg.size + cfg.size // 8, cfg.size + 16)} or use "
+            f"--augment-mode host.")
     if device_aug:
         src_size, src_patch = cfg.mae.aug_source_size, None
     else:
@@ -749,34 +760,22 @@ def cmd_embed(args) -> None:
             [os.path.basename(p) for p in paths])
         report["images"] = len(paths)
     if args.texts:
-        import jax
         import jax.numpy as jnp
+
+        from mae_clip_tpu.eval.retrieval import compute_text_embeddings
         with open(args.texts) as f:
             texts = [ln.strip() for ln in f if ln.strip()]
         if not texts:
             raise SystemExit(f"no non-empty lines in {args.texts}")
-
-        @jax.jit
-        def embed_text(variables, ids, mask):
-            feats = model.apply(variables, ids, mask,
-                                method=model.encode_text)
-            return model.apply(variables, feats, method=model.project_text)
-
-        chunks = []
-        bs = cfg.batch_size
-        for s in range(0, len(texts), bs):
-            chunk = texts[s:s + bs]
-            # pad the ragged tail + pin the width: one static shape ->
-            # one compiled executable across all chunks
-            padded = chunk + [""] * (bs - len(chunk))
-            enc = tokenizer.encode_batch(padded, max_length=cfg.max_length,
-                                         fixed_length=cfg.max_length)
-            e = embed_text(variables,
-                           jnp.asarray(enc["input_ids"], jnp.int32),
-                           jnp.asarray(enc["attention_mask"], jnp.int32))
-            chunks.append(np.asarray(e)[:len(chunk)])
-        out["text_embeddings"] = np.asarray(
-            l2_normalize(jnp.asarray(np.concatenate(chunks, axis=0))))
+        # fixed_length pins one static width -> one compiled executable
+        # across all chunks (the tail chunk adds a second shape).
+        enc = tokenizer.encode_batch(texts, max_length=cfg.max_length,
+                                     fixed_length=cfg.max_length)
+        emb = compute_text_embeddings(
+            model, variables,
+            np.asarray(enc["input_ids"], np.int32),
+            np.asarray(enc["attention_mask"], np.int32), cfg.batch_size)
+        out["text_embeddings"] = np.asarray(l2_normalize(jnp.asarray(emb)))
         out["texts"] = np.asarray(texts)
         report["texts"] = len(texts)
     np.savez(args.output, **out)

@@ -79,9 +79,26 @@ def _upload_chunked(big: np.ndarray, chunk_rows: int,
     import jax.numpy as jnp
 
     kw = {"device": sharding} if sharding is not None else {}
-    parts = [jax.device_put(big[s:s + chunk_rows], **kw)
-             for s in range(0, len(big), chunk_rows)]
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    if len(big) <= chunk_rows:
+        return jax.device_put(big, **kw)
+
+    # Preallocate the (N, ...) buffer directly at its final placement and
+    # fill it with DONATED dynamic_update_slice calls: peak device memory
+    # stays at N + one chunk. (Concatenating device_put chunks would hold
+    # every chunk alive while allocating the full result — ~2x the
+    # dataset, halving the stageable capacity.) The start index is traced,
+    # so only two executables compile: full chunk and ragged tail.
+    buf = jax.jit(lambda: jnp.zeros(big.shape, big.dtype),
+                  **({"out_shardings": sharding}
+                     if sharding is not None else {}))()
+    place = jax.jit(
+        lambda b, part, start: jax.lax.dynamic_update_slice(
+            b, part, (start,) + (jnp.int32(0),) * (b.ndim - 1)),
+        donate_argnums=(0,))
+    for s in range(0, len(big), chunk_rows):
+        part = jax.device_put(big[s:s + chunk_rows], **kw)
+        buf = place(buf, part, jnp.int32(s))
+    return buf
 
 
 def build_device_store(dataset, text_features: Optional[np.ndarray] = None,

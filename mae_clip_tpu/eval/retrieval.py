@@ -31,6 +31,30 @@ def _image_embed_fn(model):
     return embed
 
 
+def _text_embed_fn(model):
+    @jax.jit
+    def embed(variables, ids, mask):
+        feats = model.apply(variables, ids, mask, method=model.encode_text)
+        return model.apply(variables, feats, method=model.project_text)
+
+    return embed
+
+
+def compute_text_embeddings(model, variables, input_ids, attention_mask,
+                            batch_size: int) -> np.ndarray:
+    """Chunked encode+project of an (N, S) token table into (N, proj_dim)
+    — the single text-side counterpart of ``compute_image_embeddings``
+    (shared by the per-epoch eval hook, the standalone evaluator, and
+    ``cli embed``)."""
+    embed = _text_embed_fn(model)
+    chunks: List[np.ndarray] = []
+    for s in range(0, len(input_ids), batch_size):
+        ids = jnp.asarray(input_ids[s:s + batch_size])
+        mask = jnp.asarray(attention_mask[s:s + batch_size])
+        chunks.append(np.asarray(embed(variables, ids, mask)))
+    return np.concatenate(chunks)
+
+
 def compute_image_embeddings(model, variables, loader: Iterable[Dict],
                              max_batches: Optional[int] = None
                              ) -> jax.Array:
@@ -137,21 +161,9 @@ def make_retrieval_eval_fn(model, dataset, make_loader_fn, batch_size: int,
             image_emb = compute_image_embeddings(
                 model, variables, loader, max_batches=-(-n // batch_size))
 
-        from mae_clip_tpu.data.images import normalize_uint8
-
-        @jax.jit
-        def embed_text(variables, ids, mask):
-            feats = model.apply(variables, ids, mask,
-                                method=model.encode_text)
-            return model.apply(variables, feats, method=model.project_text)
-
-        text_chunks = []
-        for start in range(0, n, batch_size):
-            ids = jnp.asarray(dataset.input_ids[start:start + batch_size])
-            mask = jnp.asarray(
-                dataset.attention_mask[start:start + batch_size])
-            text_chunks.append(np.asarray(embed_text(variables, ids, mask)))
-        text_emb = jnp.asarray(np.concatenate(text_chunks))[:n]
+        text_emb = jnp.asarray(compute_text_embeddings(
+            model, variables, dataset.input_ids[:n],
+            dataset.attention_mask[:n], batch_size))
         # Ground truth by image FILENAME: the gallery has one row per
         # caption (images repeated 5x in COCO/Flickr), so any row of the
         # right image counts as a hit. K is clamped to the gallery size
@@ -190,17 +202,9 @@ def evaluate_retrieval(model, variables, dataset, make_loader_fn,
     row_img_emb = np.asarray(compute_image_embeddings(model, variables,
                                                       loader))[:n]
 
-    @jax.jit
-    def embed_text(variables, ids, mask):
-        feats = model.apply(variables, ids, mask, method=model.encode_text)
-        return model.apply(variables, feats, method=model.project_text)
-
-    text_chunks = []
-    for start in range(0, n, batch_size):
-        ids = jnp.asarray(dataset.input_ids[start:start + batch_size])
-        mask = jnp.asarray(dataset.attention_mask[start:start + batch_size])
-        text_chunks.append(np.asarray(embed_text(variables, ids, mask)))
-    text_emb = np.concatenate(text_chunks)[:n]
+    text_emb = compute_text_embeddings(
+        model, variables, dataset.input_ids[:n],
+        dataset.attention_mask[:n], batch_size)
 
     names = np.asarray(dataset.image_filenames[:n])
     # Unique images, order-preserving (first caption row of each image).

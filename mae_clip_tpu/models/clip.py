@@ -251,8 +251,15 @@ class CLIPModel(nn.Module):
             out["clip_loss"] = clip_loss
             out["loss"] = clip_loss
         if mae_out is not None:
+            # Padded tail rows (valid=False) must not contribute: zero
+            # their patch mask so the masked-patch mean skips them (the
+            # contrastive term above and the standalone MAE path both
+            # already honor `valid`).
+            mae_mask = mae_out.mask.astype(jnp.float32)
+            if valid is not None:
+                mae_mask = mae_mask * valid.astype(jnp.float32)[:, None]
             mae_loss = losses_lib.mae_reconstruction_loss(
-                mae_out.pred_patches, mae_out.target_patches, mae_out.mask,
+                mae_out.pred_patches, mae_out.target_patches, mae_mask,
                 norm_pix=cfg.mae.norm_pix_loss)
             out["mae_loss"] = mae_loss
             if compute_contrastive:

@@ -216,10 +216,11 @@ def collect_self_block_weights(blocks, dim: int, dtype) -> dict:
 
 def run_self_blocks(blocks, x: jax.Array, cfg: ViTConfig, block_impl: str,
                     deterministic: bool, is_initializing: bool,
-                    dtype, interpret: bool = False,
-                    remat: bool = False) -> jax.Array:
+                    dtype, interpret: bool = False) -> jax.Array:
     """Run a ViTBlock stack: fused Pallas path when eligible, else the
-    per-block XLA path (bit-exact canonical semantics)."""
+    per-block XLA path (bit-exact canonical semantics). Rematerialization
+    is applied at block CONSTRUCTION (nn.remat in the encoders' setup),
+    not here."""
     if _use_fused_blocks(block_impl, cfg, is_initializing):
         from mae_clip_tpu.ops.block_kernel import fused_block_stack
         w = collect_self_block_weights(blocks, cfg.dim, dtype)

@@ -94,8 +94,12 @@ def _lerp_gather(x: jax.Array, coords: jax.Array, axis: int) -> jax.Array:
     n = x.shape[axis]
     c0 = jnp.floor(coords)
     w = (coords - c0).astype(x.dtype)
+    # Clamp i0 and i1 INDEPENDENTLY from the unclipped floor: for a
+    # negative coord (upsampled edge crop, e.g. -0.25 -> c0=-1, w=0.75)
+    # both neighbours must clamp to row 0 so the lerp reproduces cv2's
+    # edge replication; i1 = clip(i0 + 1) would blend row 1 in instead.
     i0 = jnp.clip(c0.astype(jnp.int32), 0, n - 1)
-    i1 = jnp.clip(i0 + 1, 0, n - 1)
+    i1 = jnp.clip(c0.astype(jnp.int32) + 1, 0, n - 1)
     shape = [coords.shape[0]] + [1] * (x.ndim - 1)
     shape[axis] = coords.shape[1]
 

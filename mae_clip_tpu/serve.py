@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mae_clip_tpu.data.images import normalize_uint8
 from mae_clip_tpu.ops.retrieval import l2_normalize, retrieval_topk
 
 
@@ -119,21 +118,11 @@ class RetrievalService:
         self.max_length = max_length
         self.dedup_stride = dedup_stride
 
-        @jax.jit
-        def _embed_text(variables, ids, mask):
-            feats = model.apply(variables, ids, mask,
-                                method=model.encode_text)
-            return model.apply(variables, feats, method=model.project_text)
+        from mae_clip_tpu.eval.retrieval import (_image_embed_fn,
+                                                 _text_embed_fn)
 
-        @jax.jit
-        def _embed_image(variables, images):
-            images = normalize_uint8(images)
-            feats = model.apply(variables, images,
-                                method=model.encode_image)
-            return model.apply(variables, feats, method=model.project_image)
-
-        self._embed_text = _embed_text
-        self._embed_image = _embed_image
+        self._embed_text = _text_embed_fn(model)
+        self._embed_image = _image_embed_fn(model)
         self._batcher: Optional[MicroBatcher] = None
 
     # -- micro-batching ----------------------------------------------------
@@ -259,7 +248,15 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
                     emb = service.embed_text(req["texts"])
                     self._send(200, {"embeddings": emb.tolist()})
                 elif self.path == "/embed_image":
-                    imgs = np.asarray(req["images"], dtype=np.float32)
+                    # Contract: images arrive resized to the model size.
+                    # "raw_uint8": true = 0-255 pixels, ImageNet-normalized
+                    # server-side; default = ALREADY-normalized floats
+                    # (JSON carries no dtype, so the caller must say which
+                    # — silently embedding 0-255 floats would produce
+                    # garbage relative to the gallery).
+                    raw = bool(req.get("raw_uint8", False))
+                    imgs = np.asarray(req["images"],
+                                      dtype=np.uint8 if raw else np.float32)
                     if imgs.ndim == 3:       # single (H, W, C) image
                         imgs = imgs[None]
                     emb = service.embed_images(imgs)
@@ -268,7 +265,10 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
                     self._send(200, service.retrieve(req["query"],
                                                      int(req.get("n", 9))))
                 elif self.path == "/zeroshot":
-                    img = np.asarray(req["image"], dtype=np.float32)
+                    img = np.asarray(
+                        req["image"],
+                        dtype=(np.uint8 if req.get("raw_uint8", False)
+                               else np.float32))
                     self._send(200, {"probs": service.zeroshot(
                         req["labels"], img,
                         template=req.get("template", "a photo of a {}"))})

@@ -89,3 +89,19 @@ def test_values_stay_in_input_range():
         imgs, jax.random.PRNGKey(1), 16))
     assert out.min() >= 0.0 and out.max() <= 255.0
     assert out.dtype == np.float32
+
+
+def test_upsample_matches_cv2_edge_clamp():
+    """Upsampling places the first/last output rows at out-of-range source
+    coordinates (e.g. -0.25 at 2x): BOTH lerp neighbours must clamp to the
+    edge row (cv2 replication) — clipping i1 from the already-clipped i0
+    would blend row 1 into row 0 (regression test)."""
+    import cv2
+
+    imgs = _imgs(b=2, s=8)
+    out = np.asarray(resize_batch(jnp.asarray(imgs), 16))
+    for k in range(2):
+        ref = cv2.resize(imgs[k].astype(np.float32), (16, 16),
+                         interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(out[k], ref, atol=1.0)
+        assert np.mean(np.abs(out[k] - ref)) < 0.05

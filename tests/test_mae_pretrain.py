@@ -429,3 +429,20 @@ def test_cli_mae_pretrain_device_augment_file_loader(tmp_path):
         "--set", f"logdir={tmp_path / 'logs'}",
     ])
     assert any(d.name.isdigit() for d in run_dir.iterdir())
+
+
+def test_cli_mae_pretrain_rejects_equal_aug_source_size(tmp_path):
+    """device augmentation with mae.aug_source_size == size would be
+    silently skipped by the geometry dispatch — the CLI must refuse."""
+    import pytest
+
+    from mae_clip_tpu import cli
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    with pytest.raises(SystemExit, match="aug_source_size"):
+        cli.main([
+            "mae-pretrain", "--images", str(img_dir), "--no-progress",
+            "--set", "size=32", "--set", "mae.aug_source_size=32",
+            "--set", "device_data=true",
+        ])

@@ -93,6 +93,18 @@ def test_http_server_endpoints(service):
     np.testing.assert_allclose(batch["embeddings"][0],
                                one["embeddings"][0], atol=1e-5)
 
+    # raw_uint8: true => 0-255 pixels are ImageNet-normalized server-side
+    # (JSON has no dtype; the float default assumes pre-normalized input).
+    from mae_clip_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+    pix = np.random.default_rng(4).integers(
+        0, 255, size=(16, 16, 3)).astype(np.uint8)
+    normed = ((pix.astype(np.float32) / 255.0
+               - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD))
+    raw = post("/embed_image", {"images": pix.tolist(), "raw_uint8": True})
+    pre = post("/embed_image", {"images": normed.tolist()})
+    np.testing.assert_allclose(raw["embeddings"], pre["embeddings"],
+                               atol=1e-4)
+
     ret = post("/retrieve", {"query": "a blue circle", "n": 2})
     assert len(ret["matches"]) == 2
 

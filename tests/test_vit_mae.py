@@ -332,3 +332,39 @@ def test_clip_from_masked_false_uses_full_sequence_features():
     out_f = flip.apply(variables, batch, mask_rng=jax.random.PRNGKey(2))
     assert not np.allclose(np.asarray(out_f["image_embeddings"]),
                            np.asarray(out_a["image_embeddings"]))
+
+
+def test_joint_mae_loss_ignores_invalid_rows():
+    """Padded tail rows (valid=False) must not pollute the joint objective:
+    replacing an invalid row's image with garbage leaves clip_loss,
+    mae_loss, and the total unchanged (regression: the MAE term used the
+    raw patch mask over all B rows)."""
+    from mae_clip_tpu.config import Config, MAEConfig
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=32,
+                 compute_dtype="float32", max_length=16,
+                 mae=MAEConfig(enabled=True, mask_ratio=0.75, decoder_dim=16,
+                               decoder_depth=1, decoder_heads=2))
+    text_cfg = DistilBertConfig(vocab_size=64, dim=16, n_layers=1, n_heads=2,
+                                hidden_dim=32, max_position_embeddings=32)
+    model = CLIPModel(cfg, text_config=text_cfg, vit_config=TINY)
+    rng = np.random.default_rng(4)
+    imgs = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    batch = {"image": jnp.array(imgs),
+             "input_ids": jnp.array(rng.integers(0, 64, (4, 8))
+                                    .astype(np.int32)),
+             "attention_mask": jnp.ones((4, 8), dtype=jnp.int32),
+             "valid": jnp.array([True, True, False, False])}
+    variables = model.init(jax.random.PRNGKey(0), batch,
+                           mask_rng=jax.random.PRNGKey(1))
+
+    out_a = model.apply(variables, batch, mask_rng=jax.random.PRNGKey(2))
+    garbage = imgs.copy()
+    garbage[2:] = 100.0 * rng.normal(size=(2, 32, 32, 3))
+    out_b = model.apply(variables, dict(batch, image=jnp.array(garbage)),
+                        mask_rng=jax.random.PRNGKey(2))
+    for k in ("clip_loss", "mae_loss", "loss"):
+        np.testing.assert_allclose(float(out_a[k]), float(out_b[k]),
+                                   rtol=1e-6, err_msg=k)
