@@ -182,11 +182,24 @@ def cmd_train(args) -> None:
     # Device-resident data: whole decoded dataset staged in HBM, batches
     # gathered on device from (B,) index vectors (data.device_store).
     train_store = valid_store = None
+    sharded_store = cfg.device_data_sharded and mesh is not None
     if cfg.device_data:
-        from mae_clip_tpu.data.device_store import build_device_store
-        train_store = build_device_store(train_ds, text_features=train_tf)
-        valid_store = build_device_store(valid_ds, text_features=valid_tf)
-        print(f"device-resident data: "
+        if sharded_store:
+            from mae_clip_tpu.data.device_store import \
+                build_sharded_device_store
+            train_store = build_sharded_device_store(
+                train_ds, mesh=mesh, text_features=train_tf)
+            valid_store = build_sharded_device_store(
+                valid_ds, mesh=mesh, text_features=valid_tf)
+        else:
+            from mae_clip_tpu.data.device_store import build_device_store
+            train_store = build_device_store(train_ds,
+                                             text_features=train_tf)
+            valid_store = build_device_store(valid_ds,
+                                             text_features=valid_tf)
+        layout = ("row-sharded over the mesh" if sharded_store
+                  else "replicated")
+        print(f"device-resident data ({layout}): "
               f"{(train_store.nbytes + valid_store.nbytes) / 2**20:.0f} MiB "
               f"staged in HBM ({train_store.n} train + {valid_store.n} "
               f"valid examples)")
@@ -201,7 +214,20 @@ def cmd_train(args) -> None:
 
     epoch_seed = [cfg.seed]
 
-    if cfg.device_data:
+    if cfg.device_data and sharded_store:
+        from mae_clip_tpu.data.device_store import make_sharded_index_loader
+        n_shards = mesh.shape[cfg.mesh.axis_names[0]]
+
+        def train_loader():
+            epoch_seed[0] += 1
+            return make_sharded_index_loader(
+                len(train_ds), cfg.batch_size, n_shards, shuffle=True,
+                seed=cfg.seed, epoch=epoch_seed[0])
+
+        def valid_loader():
+            return make_sharded_index_loader(len(valid_ds), cfg.batch_size,
+                                             n_shards)
+    elif cfg.device_data:
         from mae_clip_tpu.data.device_store import make_index_loader
 
         def train_loader():
@@ -573,7 +599,17 @@ def cmd_mae_pretrain(args) -> None:
     )(jax.random.PRNGKey(cfg.seed), init_img)
 
     train_store = valid_store = None
-    if cfg.device_data:
+    sharded_store = cfg.device_data_sharded and mesh is not None
+    if cfg.device_data and sharded_store:
+        from mae_clip_tpu.data.device_store import \
+            build_sharded_device_store
+        train_store = build_sharded_device_store(train_ds, mesh=mesh)
+        valid_store = build_sharded_device_store(valid_ds, mesh=mesh)
+        print(f"device-resident data (row-sharded over the mesh): "
+              f"{(train_store.nbytes + valid_store.nbytes) / 2**20:.0f} "
+              f"MiB staged in HBM ({train_store.n} train + "
+              f"{valid_store.n} valid examples)")
+    elif cfg.device_data:
         from mae_clip_tpu.data.device_store import build_device_store
         train_store = build_device_store(train_ds)
         valid_store = build_device_store(valid_ds)
@@ -592,7 +628,20 @@ def cmd_mae_pretrain(args) -> None:
 
     epoch_seed = [cfg.seed]
 
-    if cfg.device_data:
+    if cfg.device_data and sharded_store:
+        from mae_clip_tpu.data.device_store import make_sharded_index_loader
+        n_shards = mesh.shape[cfg.mesh.axis_names[0]]
+
+        def train_loader():
+            epoch_seed[0] += 1
+            return make_sharded_index_loader(
+                len(train_ds), cfg.batch_size, n_shards, shuffle=True,
+                seed=cfg.seed, epoch=epoch_seed[0])
+
+        def valid_loader():
+            return make_sharded_index_loader(len(valid_ds), cfg.batch_size,
+                                             n_shards)
+    elif cfg.device_data:
         from mae_clip_tpu.data.device_store import make_index_loader
 
         def train_loader():

@@ -190,6 +190,14 @@ class Config:
     # fit HBM (~150 KB/image at 224px uint8 patches). Implies the decode
     # cost is paid once, like cache_images, but in device memory.
     device_data: bool = False
+    # Row-shard the device store over the mesh 'data' axis instead of
+    # replicating it: each DP shard holds 1/D of the dataset, so stageable
+    # capacity scales with mesh size. Batches come from blocked per-shard
+    # index loaders (data.device_store.make_sharded_index_loader) and the
+    # hot-path gather is a collective-free shard_map local take. Ignored
+    # without a mesh. Single-controller only (multi-HOST runs should use
+    # per-host file sharding, data/shards.py).
+    device_data_sharded: bool = False
     remat: bool = False              # jax.checkpoint over tower blocks
     # Trainer metric cadence: fetch train-step losses device->host every N
     # steps instead of every step. On a remote TPU a value fetch is the

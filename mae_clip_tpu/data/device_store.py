@@ -72,6 +72,14 @@ class DeviceStore:
         """(B,) int32 device/host indices -> on-device batch dict."""
         return self._gather(self.arrays, indices)
 
+    def traced_gather(self, arrays, indices) -> Dict[str, "jax.Array"]:
+        """Gather traceable inside a CALLER's jit (the Trainer superstep
+        calls this inside its ``lax.scan``). ``arrays`` is passed through
+        the caller's argument tree so donation/sharding inference sees it."""
+        import jax.numpy as jnp
+
+        return {k: jnp.take(v, indices, axis=0) for k, v in arrays.items()}
+
 
 def _upload_chunked(big: np.ndarray, chunk_rows: int,
                     sharding=None) -> "jax.Array":
@@ -133,6 +141,139 @@ def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
         arrays["attention_mask"] = _upload_chunked(
             dataset.attention_mask, len(dataset.attention_mask), sharding)
     return DeviceStore(arrays)
+
+
+class ShardedDeviceStore(DeviceStore):
+    """Row-sharded store over a mesh data axis: each DP shard holds ONLY
+    its contiguous 1/D slice, so stageable capacity scales with mesh size
+    (a replicated store pays the full N bytes on every device).
+
+    Hot-path contract: ``traced_gather`` runs a shard_map LOCAL gather —
+    zero collectives — and therefore requires BLOCKED index batches:
+    global batch block d (of D) must index shard d's row range
+    ``[d*rows_per_shard, (d+1)*rows_per_shard)``. ``make_sharded_index_
+    loader`` emits exactly this layout (each real row once per epoch).
+    The eager ``gather`` accepts ARBITRARY indices (plain global take;
+    XLA inserts the needed communication) so eval-path full sweeps
+    (``eval.retrieval.compute_image_embeddings_from_store``) work
+    unchanged, just not collective-free.
+
+    Single-controller only: arrays are placed with one ``device_put``
+    per array; multi-HOST runs should keep using per-host file sharding
+    (``data/shards.py``) instead.
+    """
+
+    def __init__(self, arrays: Dict[str, "jax.Array"], mesh,
+                 axis: str = "data"):
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        super().__init__(arrays)
+        d = mesh.shape[axis]
+        if self.n % d:
+            raise ValueError(
+                f"sharded store rows ({self.n}) must divide the mesh "
+                f"'{axis}' axis ({d}); pad first "
+                f"(build_sharded_device_store does)")
+        self.mesh, self.axis = mesh, axis
+        self.rows_per_shard = self.n // d
+        rps = self.rows_per_shard
+
+        def local_gather(arrs, idx):
+            shard = jax.lax.axis_index(axis)
+            local = idx - shard * rps
+            return {k: jnp.take(v, local, axis=0)
+                    for k, v in arrs.items()}
+
+        self._local_gather = shard_map(
+            local_gather, mesh=mesh,
+            in_specs=({k: P(axis) for k in arrays}, P(axis)),
+            out_specs=P(axis))
+
+    def traced_gather(self, arrays, indices) -> Dict[str, "jax.Array"]:
+        """Collective-free local gather (requires BLOCKED indices)."""
+        return self._local_gather(arrays, indices)
+
+
+def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
+                               text_features: Optional[np.ndarray] = None,
+                               images: Optional[np.ndarray] = None,
+                               num_threads: int = 8) -> ShardedDeviceStore:
+    """``build_device_store``'s row-sharded counterpart: decode once, pad
+    to a multiple of the mesh '``axis``' size (zero rows; the sharded
+    index loader never marks them valid), place each array with ONE
+    ``device_put`` per array (each device materializes only its slice —
+    no transient 2x)."""
+    import concurrent.futures as cf
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        raise ValueError("build_sharded_device_store needs a mesh")
+    if images is None:
+        with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
+            imgs = list(pool.map(dataset.load_image, range(len(dataset))))
+        images = np.stack(imgs)
+    d = mesh.shape[axis]
+    n = len(images)
+    rps = -(-n // d)
+    pad = rps * d - n
+
+    def padded(a: np.ndarray) -> np.ndarray:
+        a = np.asarray(a)
+        if pad:
+            a = np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+        return a
+
+    sharding = NamedSharding(mesh, P(axis))
+    put = lambda a: jax.device_put(padded(a), sharding)
+    arrays = {"image": put(images)}
+    if text_features is not None:
+        arrays["text_features"] = put(text_features)
+    elif dataset is not None and hasattr(dataset, "input_ids"):
+        arrays["input_ids"] = put(dataset.input_ids)
+        arrays["attention_mask"] = put(dataset.attention_mask)
+    store = ShardedDeviceStore(arrays, mesh, axis)
+    store.n_real = n
+    return store
+
+
+def make_sharded_index_loader(n: int, batch_size: int, n_shards: int,
+                              shuffle: bool = False, seed: int = 0,
+                              epoch: int = 0
+                              ) -> Iterator[Dict[str, np.ndarray]]:
+    """Blocked index batches for a ``ShardedDeviceStore``: batch block d
+    (size ``batch_size // n_shards``) draws only from shard d's row range,
+    so the store's shard_map gather stays local. Every REAL row (< n)
+    appears exactly once per epoch; per-shard ragged tails are padded
+    with the shard's base row and ``valid=False``. Shuffle is per-shard
+    (seeded by (seed, epoch, shard)) — the global batch still mixes D
+    spread-out dataset segments every step."""
+    if batch_size % n_shards:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"{n_shards} shards")
+    b_local = batch_size // n_shards
+    rps = -(-n // n_shards)
+    shard_rows = []
+    for d in range(n_shards):
+        rows = np.arange(d * rps, min((d + 1) * rps, n), dtype=np.int32)
+        if shuffle and len(rows):
+            np.random.default_rng((seed, epoch, d)).shuffle(rows)
+        shard_rows.append(rows)
+    for bi in range(-(-rps // b_local)):
+        idx = np.zeros((batch_size,), np.int32)
+        valid = np.zeros((batch_size,), dtype=bool)
+        for d in range(n_shards):
+            rows = shard_rows[d][bi * b_local:(bi + 1) * b_local]
+            base = d * b_local
+            idx[base:base + len(rows)] = rows
+            idx[base + len(rows):base + b_local] = d * rps  # in-shard pad
+            valid[base:base + len(rows)] = True
+        yield {"indices": idx, "valid": valid}
 
 
 def make_index_loader(n: int, batch_size: int, shuffle: bool = False,

@@ -541,9 +541,14 @@ class Trainer:
             return fn
         step = self.train_step if train else self.eval_step
         mesh, axis = self.mesh, self.cfg.mesh.axis_names[0]
+        store = self.train_store if train else self.valid_store
 
         def gather(arrays, i, v):
-            batch = {k: jnp.take(a, i, axis=0) for k, a in arrays.items()}
+            # Store-provided gather: plain take for a replicated store,
+            # collective-free shard_map local gather for a
+            # ShardedDeviceStore (requires the blocked index layout of
+            # make_sharded_index_loader).
+            batch = store.traced_gather(arrays, i)
             batch["valid"] = v
             if mesh is not None:
                 batch = shard_batch(batch, mesh, axis)

@@ -277,3 +277,107 @@ def test_checkpoint_every_cadence(tmp_path):
     assert run(0, 3, "none") == []                    # disabled
     saved = run(5, 3, "final")                        # no every-N hit
     assert 2 in saved                                 # final epoch saved
+
+
+def test_sharded_index_loader_blocked_coverage():
+    """Blocked layout: batch block d draws only from shard d's row range;
+    every real row exactly once per epoch; in-shard pads valid=False."""
+    from mae_clip_tpu.data.device_store import make_sharded_index_loader
+
+    n, bs, d = 14, 8, 4                     # rps=4, b_local=2
+    batches = list(make_sharded_index_loader(n, bs, d, shuffle=True,
+                                             seed=1))
+    assert len(batches) == 2
+    rps, b_local = 4, 2
+    seen = []
+    for b in batches:
+        assert b["indices"].dtype == np.int32
+        for s in range(d):
+            blk = b["indices"][s * b_local:(s + 1) * b_local]
+            assert ((blk >= s * rps) & (blk < (s + 1) * rps)).all()
+        seen.extend(b["indices"][b["valid"]].tolist())
+    assert sorted(seen) == list(range(n))
+    # different epochs reshuffle within shards
+    e2 = list(make_sharded_index_loader(n, bs, d, shuffle=True, seed=1,
+                                        epoch=1))
+    assert any((a["indices"] != b["indices"]).any()
+               for a, b in zip(batches, e2))
+
+
+def test_sharded_store_gather_and_training_matches_replicated():
+    """ShardedDeviceStore over the 8-device mesh: eager gather accepts
+    arbitrary indices (eval sweeps), the shard_map traced gather matches
+    numpy on blocked batches, and a superstep Trainer epoch produces the
+    SAME final params as the replicated store fed identical batches."""
+    from mae_clip_tpu.data.device_store import (ShardedDeviceStore,
+                                                build_sharded_device_store,
+                                                make_sharded_index_loader)
+    from mae_clip_tpu.parallel.mesh import mesh_from_config
+
+    n, bs = 14, 8
+    rng = np.random.default_rng(11)
+    images = rng.normal(size=(n, 16, 16, 3)).astype(np.float32)
+    ids = rng.integers(0, 64, size=(n, 12)).astype(np.int32)
+    mask = np.ones((n, 12), np.int32)
+
+    cfg = tiny_cfg(batch_size=bs, epochs=1, steps_per_call=2)
+    mesh = mesh_from_config(cfg.mesh)
+    d = mesh.shape["data"]
+    assert bs % d == 0
+
+    class FakeDS:
+        input_ids = ids
+        attention_mask = mask
+
+        def __len__(self):
+            return n
+
+        def load_image(self, i):
+            raise AssertionError("images= should bypass decode")
+
+    store = build_sharded_device_store(FakeDS(), mesh=mesh, images=images)
+    rps = store.rows_per_shard
+    assert store.n == rps * d and store.n_real == n
+    pad = store.n - n
+    padded = np.concatenate(
+        [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+
+    # eager gather: ARBITRARY (non-blocked) indices, the eval-sweep path
+    idx = np.array([13, 0, 7, 5], np.int32)
+    out = store.gather(jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(out["image"]), images[idx])
+
+    # traced (shard_map local) gather on a BLOCKED batch == numpy
+    b0 = next(iter(make_sharded_index_loader(n, bs, d, shuffle=True,
+                                             seed=2)))
+    g = jax.jit(store.traced_gather)(store.arrays,
+                                     jnp.asarray(b0["indices"]))
+    np.testing.assert_allclose(np.asarray(g["image"]),
+                               padded[b0["indices"]])
+    pid = np.concatenate([ids, np.zeros((pad, 12), ids.dtype)])
+    np.testing.assert_array_equal(np.asarray(g["input_ids"]),
+                                  pid[b0["indices"]])
+
+    # identical blocked batches through sharded vs replicated stores
+    # must train identically (both arms on the same mesh).
+    model, variables, _ = build(cfg)
+    params0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+    rep = DeviceStore({"image": jnp.asarray(padded),
+                       "input_ids": jnp.asarray(pid),
+                       "attention_mask": jnp.asarray(
+                           np.concatenate([mask,
+                                           np.ones((pad, 12), np.int32)]))})
+    loader = lambda: make_sharded_index_loader(n, bs, d, shuffle=True,
+                                               seed=5)
+    states = {}
+    for name, st in (("sharded", store), ("replicated", rep)):
+        t = Trainer(cfg, model,
+                    jax.tree_util.tree_map(jnp.asarray, params0),
+                    mesh=mesh, train_store=st, valid_store=st)
+        assert t._superstep_k(train=True) == 2
+        t.train_epoch(loader())
+        t.valid_epoch(loader())
+        states[name] = t.state
+    for a, b in zip(jax.tree_util.tree_leaves(states["sharded"].params),
+                    jax.tree_util.tree_leaves(states["replicated"].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -446,3 +446,40 @@ def test_cli_mae_pretrain_rejects_equal_aug_source_size(tmp_path):
             "--set", "size=32", "--set", "mae.aug_source_size=32",
             "--set", "device_data=true",
         ])
+
+
+def test_cli_mae_pretrain_sharded_device_store(tmp_path):
+    """device_data_sharded=true: the store is row-sharded over the
+    8-virtual-device mesh, batches come from blocked per-shard index
+    loaders, and the run completes with finite losses + checkpoints."""
+    import cv2
+    import json as _json
+
+    from mae_clip_tpu import cli
+
+    rng = np.random.default_rng(6)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(18):                   # not divisible by 8 shards
+        cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                    rng.integers(0, 255, size=(56, 56, 3)).astype(np.uint8))
+
+    run_dir = tmp_path / "run"
+    cli.main([
+        "mae-pretrain", "--images", str(img_dir),
+        "--val-fraction", "0.5", "--no-progress",
+        "--set", "batch_size=8", "--set", "epochs=2", "--set", "size=32",
+        "--set", "device_data=true", "--set", "device_data_sharded=true",
+        "--set", "steps_per_call=2", "--set", "mae.aug_source_size=48",
+        "--set", "compute_dtype=float32", "--set", "gelu_impl=null",
+        "--set", "image_heads=null",
+        "--set", "mae.decoder_dim=16", "--set", "mae.decoder_depth=1",
+        "--set", "mae.decoder_heads=2",
+        "--set", f"checkpoints={run_dir}",
+        "--set", f"logdir={tmp_path / 'logs'}",
+    ])
+    assert any(d.name.isdigit() for d in run_dir.iterdir())
+    lines = [_json.loads(l) for l in
+             open(tmp_path / "logs" / "metrics.jsonl")]
+    assert len(lines) == 2
+    assert all(np.isfinite(l["loss/train"]) for l in lines)

@@ -219,3 +219,29 @@ def test_grad_clip_matches_torch_clip_grad_norm():
     np.testing.assert_array_equal(
         np.asarray(params["text_encoder"]["model"]["layer_0"]["kernel"]),
         w_frozen)
+
+
+def test_grad_clip_composes_with_train_step_and_lr_scale():
+    """grad_clip_norm>0 inserts a transform ahead of the chain: the jitted
+    train step still runs, and the dynamic-LR-scale plumbing (which
+    SEARCHES the chain state) still finds its slot."""
+    from tests.test_train import build, tiny_batch, tiny_cfg
+
+    cfg = tiny_cfg(grad_clip_norm=1.0, epochs=1)
+    model, variables, _ = build(cfg)
+    from mae_clip_tpu.train.loop import make_train_step
+    from mae_clip_tpu.train.state import TrainState
+
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx,
+                              jax.random.PRNGKey(0))
+    assert get_lr_scale(state.opt_state) == 1.0
+    state = state.replace(opt_state=set_lr_scale(state.opt_state, 0.5))
+    assert get_lr_scale(state.opt_state) == 0.5
+
+    step = make_train_step(model, tx, cfg)
+    rng = np.random.default_rng(7)
+    state, metrics = step(state, tiny_batch(rng))
+    assert np.isfinite(float(metrics["loss"]))
+    from mae_clip_tpu.train.optim import current_lr
+    assert current_lr(cfg, state.opt_state) > 0
