@@ -73,6 +73,12 @@ class MeshConfig:
     data: int = -1
     model: int = 1
     axis_names: Tuple[str, str] = ("data", "model")
+    # ZeRO-1-style optimizer-state sharding: AdamW moments are elementwise
+    # in the update, so their leading dim shards over the 'data' axis with
+    # no math change — optimizer HBM drops ~1/D per chip (GSPMD inserts
+    # the gather where the update meets replicated params). Leaves whose
+    # dim0 doesn't divide the axis stay replicated.
+    shard_opt_state: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

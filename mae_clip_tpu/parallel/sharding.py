@@ -59,6 +59,34 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(one, params)
 
 
+def opt_state_shardings(opt_state: Any, mesh: Mesh,
+                        data_axis: str = "data",
+                        zero1: bool = False) -> Any:
+    """NamedSharding pytree for an optimizer state under ``mesh``.
+
+    Default: fully replicated. ``zero1=True`` = ZeRO-1-style sharding:
+    every array leaf whose leading dim divides the ``data`` axis (the
+    AdamW mu/nu moment trees) is sharded ``P(data_axis)`` — the
+    moment/update math is elementwise per parameter, so this changes no
+    values; GSPMD computes the update sharded and gathers it where it
+    meets the replicated params. Scalars (step counts, the dynamic LR
+    scale) and non-dividing leaves stay replicated.
+    """
+    rep = NamedSharding(mesh, P())
+    if not zero1:
+        return jax.tree_util.tree_map(lambda _: rep, opt_state)
+    d = mesh.shape.get(data_axis, 1)
+    sharded = NamedSharding(mesh, P(data_axis))
+
+    def one(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] >= d and shape[0] % d == 0:
+            return sharded
+        return rep
+
+    return jax.tree_util.tree_map(one, opt_state)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully-replicated NamedSharding pytree."""
     sharding = NamedSharding(mesh, P())

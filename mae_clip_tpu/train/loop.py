@@ -29,7 +29,9 @@ from jax import shard_map
 
 from mae_clip_tpu.config import Config
 from mae_clip_tpu.ops import losses as losses_lib
-from mae_clip_tpu.parallel.sharding import (batch_sharding, param_shardings,
+from mae_clip_tpu.parallel.sharding import (batch_sharding,
+                                            opt_state_shardings,
+                                            param_shardings,
                                             replicate, shard_batch)
 from mae_clip_tpu.train.metrics import AvgMeter, MetricWriter, Throughput
 from mae_clip_tpu.train.optim import (ReduceLROnPlateau, current_lr,
@@ -299,7 +301,9 @@ def _compile_step(step_fn, cfg: Config, mesh: Optional[Mesh],
         return TrainState(
             step=rep,
             params=param_shardings(state.params, mesh),
-            opt_state=jax.tree_util.tree_map(lambda _: rep, state.opt_state),
+            opt_state=opt_state_shardings(
+                state.opt_state, mesh, cfg.mesh.axis_names[0],
+                zero1=cfg.mesh.shard_opt_state),
             batch_stats=(None if state.batch_stats is None else
                          jax.tree_util.tree_map(lambda _: rep,
                                                 state.batch_stats)),

@@ -216,3 +216,89 @@ def test_large_batch_mesh_recipe_end_to_end():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_zero1_opt_state_sharding_matches_replicated():
+    """mesh.shard_opt_state=true (ZeRO-1): AdamW moments are sharded
+    P('data') on their leading dim, values after several steps match the
+    replicated-opt-state mesh run exactly (the update math is
+    elementwise), and the moment leaves really live sharded."""
+    import dataclasses
+
+    from mae_clip_tpu.train.loop import make_train_step
+    from mae_clip_tpu.train.optim import make_optimizer
+    from mae_clip_tpu.train.state import TrainState
+    from tests.test_train import build, tiny_batch, tiny_cfg
+
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(12)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    states = {}
+    for zero1 in (False, True):
+        cfg = tiny_cfg(global_contrastive=True)
+        cfg = cfg.replace(mesh=dataclasses.replace(
+            cfg.mesh, shard_opt_state=zero1))
+        model, variables, _ = build(cfg)
+        tx = make_optimizer(cfg, variables["params"])
+        state = TrainState.create(copy(variables["params"]), tx,
+                                  jax.random.PRNGKey(2))
+        step = make_train_step(model, tx, cfg, mesh=mesh)
+        r = np.random.default_rng(12)          # same batches both arms
+        for _ in range(3):
+            state, metrics = step(state, tiny_batch(r))
+            assert np.isfinite(float(metrics["loss"]))
+        states[zero1] = state
+
+    for a, b in zip(jax.tree_util.tree_leaves(states[False].params),
+                    jax.tree_util.tree_leaves(states[True].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # Moments (leading dim divisible by 8) are physically sharded; the
+    # step counter / LR scale scalars stay replicated.
+    specs = [leaf.sharding.spec for leaf in
+             jax.tree_util.tree_leaves(states[True].opt_state)
+             if getattr(leaf, "ndim", 0) >= 1
+             and leaf.shape[0] % 8 == 0 and leaf.shape[0] >= 8]
+    assert specs and all(s == P("data") for s in specs)
+    scalars = [leaf for leaf in
+               jax.tree_util.tree_leaves(states[True].opt_state)
+               if getattr(leaf, "ndim", None) == 0]
+    assert scalars and all(s.sharding.spec == P() for s in scalars)
+
+
+def test_zero1_state_checkpoint_roundtrip(tmp_path):
+    """A ZeRO-1-sharded TrainState saves and restores through Orbax with
+    exact values (restore lands unsharded; the next compiled step's
+    in_shardings reshard it)."""
+    import dataclasses
+
+    from mae_clip_tpu.train.checkpoint import CheckpointManager, abstract_like
+    from mae_clip_tpu.train.loop import make_train_step
+    from mae_clip_tpu.train.optim import make_optimizer
+    from mae_clip_tpu.train.state import TrainState
+    from tests.test_train import build, tiny_batch, tiny_cfg
+
+    mesh = create_mesh(8, 1)
+    cfg = tiny_cfg(global_contrastive=True)
+    cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh,
+                                               shard_opt_state=True))
+    model, variables, _ = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx,
+                              jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, cfg, mesh=mesh)
+    r = np.random.default_rng(13)
+    state, _ = step(state, tiny_batch(r))
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(epoch=0, state=state, metrics={"valid_loss": 1.0})
+    mngr.wait()
+    restored, _ = mngr.restore(abstract_like(state), step=0)
+    mngr.close()
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state steps again under the sharded executable
+    restored, metrics = step(restored, tiny_batch(r))
+    assert np.isfinite(float(metrics["loss"]))
