@@ -147,6 +147,13 @@ class Config:
     # real (discarded) grads from the joint backward, and torch would
     # never count requires_grad=False params in the clip norm.
     grad_clip_norm: float = 0.0
+    # Exponential moving average of the trainable params, updated inside
+    # the jitted step (new_ema = d*ema + (1-d)*p; frozen leaves alias).
+    # 0 disables (the reference has no EMA); typical 0.999-0.9999. With
+    # ema_eval, validation/eval and checkpoint-served inference use the
+    # EMA weights (the standard protocol, e.g. MoCo/BYOL evals).
+    ema_decay: float = 0.0
+    ema_eval: bool = True
 
     # --- TPU-native fields ---
     # Tower GELU override: None keeps each tower's parity-exact erf GELU

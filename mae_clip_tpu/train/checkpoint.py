@@ -129,7 +129,13 @@ def load_variables(path: str, cfg: Config) -> Dict:
         finally:
             mngr.close()
         state = restored["state"]
-        variables = {"params": state["params"]}
+        params = state["params"]
+        # EMA-trained runs serve the averaged weights (the same ones the
+        # best-val selection evaluated) when the config says evals use EMA.
+        if (cfg.ema_decay > 0 and cfg.ema_eval
+                and state.get("ema_params") is not None):
+            params = state["ema_params"]
+        variables = {"params": params}
         if state.get("batch_stats") is not None:
             variables["batch_stats"] = state["batch_stats"]
         return variables

@@ -274,12 +274,23 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         new_params = jax.tree_util.tree_map(
             lambda p, u, t: p + u.astype(p.dtype) if t else p,
             state.params, updates, trainable_mask(cfg, state.params))
+        new_ema = state.ema_params
+        if cfg.ema_decay > 0 and state.ema_params is not None:
+            # EMA over trainable leaves only; frozen leaves stay identity
+            # (aliasing the donated buffer — same trick as the update skip).
+            d = cfg.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p, t: (d * e + (1 - d) * p).astype(e.dtype)
+                if t else e,
+                state.ema_params, new_params,
+                trainable_mask(cfg, state.params))
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
             batch_stats=(new_stats if new_stats is not None
-                         else state.batch_stats))
+                         else state.batch_stats),
+            ema_params=new_ema)
         return new_state, metrics
 
     metrics_proto = {"loss": 0, "clip_loss": 0,
@@ -307,7 +318,9 @@ def _compile_step(step_fn, cfg: Config, mesh: Optional[Mesh],
             batch_stats=(None if state.batch_stats is None else
                          jax.tree_util.tree_map(lambda _: rep,
                                                 state.batch_stats)),
-            rng=rep)
+            rng=rep,
+            ema_params=(None if state.ema_params is None else
+                        param_shardings(state.ema_params, mesh)))
 
     def batch_shardings(batch):
         return jax.tree_util.tree_map(lambda _: bspec, batch)
@@ -396,11 +409,32 @@ def make_mae_pretrain_step(model, tx, cfg: Config,
         new_params = jax.tree_util.tree_map(
             lambda p, u, t: p + u.astype(p.dtype) if t else p,
             state.params, updates, trainable_mask(cfg, state.params))
+        new_ema = state.ema_params
+        if cfg.ema_decay > 0 and state.ema_params is not None:
+            d = cfg.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p, t: (d * e + (1 - d) * p).astype(e.dtype)
+                if t else e,
+                state.ema_params, new_params,
+                trainable_mask(cfg, state.params))
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  opt_state=new_opt_state)
+                                  opt_state=new_opt_state,
+                                  ema_params=new_ema)
         return new_state, metrics
 
     return _compile_step(step_fn, cfg, mesh, {"loss": 0, "mae_loss": 0})
+
+
+def _eval_variables(state: TrainState, cfg: Config) -> dict:
+    """Variables evals should run on: the EMA weights when EMA is enabled
+    with ema_eval (standard averaged-weights protocol), else the live
+    params."""
+    if cfg.ema_decay > 0 and cfg.ema_eval and state.ema_params is not None:
+        v = {"params": state.ema_params}
+        if state.batch_stats is not None:
+            v["batch_stats"] = state.batch_stats
+        return v
+    return state.variables()
 
 
 def make_mae_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
@@ -408,8 +442,9 @@ def make_mae_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
 
     def step_fn(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        loss = _mae_images_and_forward(model, state.params, batch, rng,
-                                       False, cfg)
+        loss = _mae_images_and_forward(
+            model, _eval_variables(state, cfg)["params"], batch, rng,
+            False, cfg)
         return {"loss": loss, "mae_loss": loss}
 
     return jax.jit(step_fn)
@@ -460,7 +495,8 @@ def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
 
     def step_fn(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        out, _ = _forward(model, state.variables(), batch, False, rng, cfg)
+        out, _ = _forward(model, _eval_variables(state, cfg), batch,
+                          False, rng, cfg)
         clip_loss = clip_loss_fn(out["image_embeddings"],
                                  out["text_embeddings"], batch.get("valid"))
         metrics = {"clip_loss": clip_loss, "loss": clip_loss}
@@ -492,7 +528,8 @@ class Trainer:
         self.mesh = mesh
         self.tx = tx if tx is not None else make_optimizer(cfg, params)
         rng = jax.random.PRNGKey(cfg.seed)
-        self.state = TrainState.create(params, self.tx, rng, batch_stats)
+        self.state = TrainState.create(params, self.tx, rng, batch_stats,
+                                       ema=cfg.ema_decay > 0)
         if objective == "mae":
             self.train_step = make_mae_pretrain_step(model, self.tx, cfg,
                                                      mesh)

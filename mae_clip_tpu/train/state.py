@@ -22,15 +22,20 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
     batch_stats: Optional[Any]        # None for BN-free towers (ViT)
     rng: jax.Array                    # folded per step for dropout/masking
+    # Exponential moving average of params (cfg.ema_decay > 0); None when
+    # disabled so the pytree layout (and checkpoints) are unchanged.
+    ema_params: Optional[Any] = None
 
     @classmethod
     def create(cls, params: Any, tx: optax.GradientTransformation,
-               rng: jax.Array, batch_stats: Optional[Any] = None
-               ) -> "TrainState":
+               rng: jax.Array, batch_stats: Optional[Any] = None,
+               ema: bool = False) -> "TrainState":
         import jax.numpy as jnp
+        ema_params = (jax.tree_util.tree_map(jnp.array, params)
+                      if ema else None)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=tx.init(params), batch_stats=batch_stats,
-                   rng=rng)
+                   rng=rng, ema_params=ema_params)
 
     def variables(self) -> dict:
         v = {"params": self.params}

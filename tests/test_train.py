@@ -430,3 +430,87 @@ def test_metric_fetch_batching_matches_per_step():
         results[fetch_every] = (meter.avg, meter.count)
     assert results[1][1] == results[64][1]
     np.testing.assert_allclose(results[64][0], results[1][0], rtol=1e-7)
+
+
+def test_ema_params_update_and_eval_selection():
+    """ema_decay>0: the step maintains new_ema = d*ema + (1-d)*params over
+    TRAINABLE leaves (frozen leaves alias), eval runs on the EMA weights
+    when ema_eval, and raw-params eval is recovered with ema_eval=false."""
+    from mae_clip_tpu.train.loop import (make_eval_step, make_train_step,
+                                         _eval_variables)
+    from mae_clip_tpu.train.optim import make_optimizer
+    from mae_clip_tpu.train.state import TrainState
+
+    d = 0.5
+    cfg = tiny_cfg(ema_decay=d)
+    model, variables, _ = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx,
+                              jax.random.PRNGKey(0), ema=True)
+    expected = jax.tree_util.tree_map(np.asarray, state.params)
+    step = make_train_step(model, tx, cfg)
+
+    rng = np.random.default_rng(21)
+    for _ in range(3):
+        state, metrics = step(state, tiny_batch(rng))
+        assert np.isfinite(float(metrics["loss"]))
+        expected = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p),
+            expected, state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(expected),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(b), a, rtol=2e-6, atol=1e-7)
+    # EMA differs from the live params after optimizer movement...
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                             jax.tree_util.tree_leaves(state.ema_params))]
+    assert max(diffs) > 0
+    # ...the frozen text tower's EMA leaves stay identical to its params.
+    for a, b in zip(
+            jax.tree_util.tree_leaves(state.params["text_encoder"]),
+            jax.tree_util.tree_leaves(state.ema_params["text_encoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Eval-variable selection.
+    assert _eval_variables(state, cfg)["params"] is state.ema_params
+    cfg_raw = tiny_cfg(ema_decay=d, ema_eval=False)
+    assert _eval_variables(state, cfg_raw)["params"] is state.params
+    batch = tiny_batch(rng)
+    m_ema = make_eval_step(model, cfg)(state, batch)
+    m_raw = make_eval_step(model, cfg_raw)(state, batch)
+    assert float(m_ema["loss"]) != float(m_raw["loss"])
+
+
+def test_trainer_ema_fit_and_checkpoint_roundtrip(tmp_path):
+    """Trainer with ema_decay>0: fit maintains the EMA tree, the whole
+    state (incl. EMA) roundtrips through Orbax, and load_variables serves
+    the EMA weights for an ema_eval config."""
+    from mae_clip_tpu.train.checkpoint import (CheckpointManager,
+                                               abstract_like,
+                                               load_variables)
+
+    cfg = tiny_cfg(ema_decay=0.9, epochs=1,
+                   logdir=str(tmp_path / "logs"),
+                   checkpoints=str(tmp_path / "ckpt"))
+    model, variables, _ = build(cfg)
+    rng = np.random.default_rng(3)
+    mngr = CheckpointManager(cfg.checkpoints)
+    trainer = Trainer(cfg, model, variables["params"],
+                      checkpoint_manager=mngr)
+    trainer.fit(_loaders(rng), _loaders(rng, n_batches=2))
+    mngr.wait()
+    assert trainer.state.ema_params is not None
+
+    restored, _ = mngr.restore(abstract_like(trainer.state))
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.ema_params),
+                    jax.tree_util.tree_leaves(restored.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    served = load_variables(cfg.checkpoints, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.ema_params),
+                    jax.tree_util.tree_leaves(served["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    raw = load_variables(cfg.checkpoints, cfg.replace(ema_eval=False))
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(raw["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
