@@ -902,7 +902,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--linear-probe-dir",
                    help="class-per-subdirectory tree: linear probe on "
                         "frozen encoder features (MAE-paper protocol)")
-    p.add_argument("--template", default="a photo of a {}")
+    p.add_argument("--template", default=["a photo of a {}"],
+                   nargs="+",
+                   help="one or more prompt templates; multiple = "
+                        "CLIP-paper prompt ensembling (normalized "
+                        "per-template embeddings averaged per class)")
     p.add_argument("--max-samples", type=int, default=None)
     p.set_defaults(fn=cmd_eval)
 
@@ -911,7 +915,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--image", required=True)
     p.add_argument("--labels", required=True, help="comma-separated")
-    p.add_argument("--template", default="a photo of a {}")
+    p.add_argument("--template", default=["a photo of a {}"],
+                   nargs="+",
+                   help="one or more prompt templates (ensembling)")
     p.set_defaults(fn=cmd_zeroshot)
 
     p = sub.add_parser("reconstruct",

@@ -20,10 +20,20 @@ from mae_clip_tpu.ops.retrieval import l2_normalize
 
 def build_zero_shot_classifier(model, variables, tokenizer,
                                class_names: Sequence[str],
-                               template: str = "a photo of a {}",
+                               template="a photo of a {}",
                                max_length: Optional[int] = None) -> jax.Array:
-    """(C, proj_dim) matrix of L2-normalized class-prompt embeddings."""
-    prompts = [template.format(c) for c in class_names]
+    """(C, proj_dim) matrix of L2-normalized class-prompt embeddings.
+
+    ``template`` may be a single format string (the reference's protocol,
+    CIFAR.ipynb cell 7) or a SEQUENCE of them — prompt ensembling per the
+    CLIP paper (arXiv:2103.00020 §3.1.4): each template's class embedding
+    is L2-normalized, averaged per class, and the mean re-normalized.
+    """
+    templates = ([template] if isinstance(template, str)
+                 else list(template))
+    if not templates:
+        raise ValueError("need at least one template")
+    prompts = [t.format(c) for c in class_names for t in templates]
     enc = tokenizer.encode_batch(prompts, max_length=max_length)
     ids = jnp.asarray(enc["input_ids"], jnp.int32)
     mask = jnp.asarray(enc["attention_mask"], jnp.int32)
@@ -32,7 +42,10 @@ def build_zero_shot_classifier(model, variables, tokenizer,
     def embed(variables, ids, mask):
         feats = model.apply(variables, ids, mask, method=model.encode_text)
         proj = model.apply(variables, feats, method=model.project_text)
-        return l2_normalize(proj)
+        per_prompt = l2_normalize(proj)            # (C*T, D)
+        per_class = per_prompt.reshape(
+            len(class_names), len(templates), -1).mean(axis=1)
+        return l2_normalize(per_class)
 
     return embed(variables, ids, mask)
 

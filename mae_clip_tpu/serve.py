@@ -206,10 +206,16 @@ class RetrievalService:
                 "indices": idx.tolist()}
 
     def zeroshot(self, labels: Sequence[str], image: np.ndarray,
-                 template: str = "a photo of a {}",
+                 template="a photo of a {}",
                  scale: float = 100.0) -> Dict[str, float]:
-        cls = l2_normalize(jnp.asarray(
-            self.embed_text([template.format(l) for l in labels])))
+        # str or sequence of str (CLIP-paper prompt ensembling: normalized
+        # per-template embeddings averaged per class, re-normalized).
+        templates = ([template] if isinstance(template, str)
+                     else list(template))
+        per = l2_normalize(jnp.asarray(self.embed_text(
+            [t.format(l) for l in labels for t in templates])))
+        cls = l2_normalize(per.reshape(len(labels), len(templates),
+                                       -1).mean(axis=1))
         img = l2_normalize(jnp.asarray(self.embed_images(image[None])))
         probs = jax.nn.softmax(scale * (img @ cls.T), axis=-1)
         return {l: float(p) for l, p in zip(labels, np.asarray(probs)[0])}

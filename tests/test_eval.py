@@ -380,3 +380,56 @@ def test_cifar10_pickle_loader_and_eval(tmp_path):
                                size=16, batch_size=4)
     assert out["num_images"] == n_test and out["num_classes"] == 10
     assert 0.0 <= out["top1_accuracy"] <= out["top5_accuracy"] <= 1.0
+
+
+def test_zero_shot_template_ensembling():
+    """Prompt ensembling (CLIP paper §3.1.4): list-of-one == single string;
+    a two-template ensemble equals the manually averaged-and-renormalized
+    per-template classifiers."""
+    from mae_clip_tpu.config import Config
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    from mae_clip_tpu.models.vit import ViTConfig
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+    from mae_clip_tpu.eval.zeroshot import build_zero_shot_classifier
+    from mae_clip_tpu.ops.retrieval import l2_normalize
+
+    classes = ["red", "green", "blue"]
+    t1, t2 = "a photo of a {}", "an image of a {}"
+    tok = WordPieceTokenizer(build_vocab(
+        [t.format(c) for c in classes for t in (t1, t2)], vocab_size=64,
+        min_frequency=1))
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=16,
+                 compute_dtype="float32", max_length=16, batch_size=4)
+    model = CLIPModel(
+        cfg,
+        text_config=DistilBertConfig(vocab_size=tok.vocab_size, dim=16,
+                                     n_layers=1, n_heads=2, hidden_dim=32,
+                                     max_position_embeddings=32),
+        vit_config=ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                             n_heads=2))
+    rng = np.random.default_rng(1)
+    init_batch = {
+        "image": jnp.asarray(rng.normal(size=(4, 16, 16, 3)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(0, tok.vocab_size,
+                                              size=(4, 8)), jnp.int32),
+        "attention_mask": jnp.ones((4, 8), jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), init_batch)
+
+    single = build_zero_shot_classifier(model, variables, tok, classes,
+                                        template=t1)
+    listed = build_zero_shot_classifier(model, variables, tok, classes,
+                                        template=[t1])
+    np.testing.assert_allclose(np.asarray(listed), np.asarray(single),
+                               atol=1e-6)
+
+    both = build_zero_shot_classifier(model, variables, tok, classes,
+                                      template=[t1, t2])
+    a = build_zero_shot_classifier(model, variables, tok, classes,
+                                   template=t1)
+    b = build_zero_shot_classifier(model, variables, tok, classes,
+                                   template=t2)
+    manual = l2_normalize((jnp.asarray(a) + jnp.asarray(b)) / 2.0)
+    np.testing.assert_allclose(np.asarray(both), np.asarray(manual),
+                               atol=1e-5)
+    assert not np.allclose(np.asarray(both), np.asarray(single))
