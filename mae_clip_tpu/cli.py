@@ -782,15 +782,68 @@ def cmd_embed(args) -> None:
     from mae_clip_tpu.train.checkpoint import load_variables
 
     cfg = _load_config(args)
-    if not (args.images or args.texts):
-        raise SystemExit("pass --images DIR and/or --texts FILE")
-    tokenizer = _tokenizer(cfg) if args.texts else None
+    if args.shards and (args.images or args.texts):
+        raise SystemExit("--shards embeds its own records; don't combine "
+                         "with --images/--texts")
+    if not (args.images or args.texts or args.shards):
+        raise SystemExit("pass --images DIR, --texts FILE, or "
+                         "--shards PATTERN")
+    tokenizer = _tokenizer(cfg) if (args.texts or args.shards) else None
     model, _ = _build_model(
         cfg, vocab_size=tokenizer.vocab_size if tokenizer else None)
     variables = load_variables(args.checkpoint, cfg)
 
     from mae_clip_tpu.ops.retrieval import l2_normalize
     out, report = {}, {"output": args.output}
+    if args.shards:
+        # Web-scale gallery export: stream tar shards (data/shards.py),
+        # embed BOTH sides of every record, keep the keys for alignment.
+        import glob as _glob
+
+        import jax.numpy as jnp
+
+        from mae_clip_tpu.data.images import (decode_image_bytes,
+                                              host_preprocess)
+        from mae_clip_tpu.data.shards import iter_shard_records
+        from mae_clip_tpu.eval.retrieval import (_image_embed_fn,
+                                                 compute_text_embeddings)
+
+        shards = sorted(_glob.glob(args.shards))
+        if not shards:
+            raise SystemExit(f"no shards match {args.shards!r}")
+        embed_img = _image_embed_fn(model)
+        bs = cfg.batch_size
+        keys, captions, chunks, buf = [], [], [], []
+
+        def flush():
+            if not buf:
+                return
+            count = len(buf)
+            imgs = np.stack(buf + [np.zeros_like(buf[0])] * (bs - count))
+            chunks.append(np.asarray(
+                embed_img(variables, jnp.asarray(imgs)))[:count])
+            buf.clear()
+
+        for sp in shards:
+            for k, img_bytes, caption in iter_shard_records(sp):
+                keys.append(k)
+                captions.append(caption)
+                buf.append(host_preprocess(decode_image_bytes(img_bytes),
+                                           cfg.size))
+                if len(buf) == bs:
+                    flush()
+        flush()
+        out["image_embeddings"] = np.asarray(
+            l2_normalize(jnp.asarray(np.concatenate(chunks))))
+        enc = tokenizer.encode_batch(captions, max_length=cfg.max_length,
+                                     fixed_length=cfg.max_length)
+        out["text_embeddings"] = np.asarray(l2_normalize(jnp.asarray(
+            compute_text_embeddings(
+                model, variables, np.asarray(enc["input_ids"], np.int32),
+                np.asarray(enc["attention_mask"], np.int32), bs))))
+        out["keys"] = np.asarray(keys)
+        out["texts"] = np.asarray(captions)
+        report["records"] = len(keys)
     if args.images:
         from mae_clip_tpu.eval.retrieval import compute_image_embeddings
         from mae_clip_tpu.eval.zeroshot import image_label_loader
@@ -968,6 +1021,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--images", help="directory of images to encode")
     p.add_argument("--texts", help="text file, one caption per line")
+    p.add_argument("--shards",
+                   help="tar-shard glob (data-shards output): embed every "
+                        "record's image AND caption, keyed")
     p.add_argument("--output", required=True, help=".npz output path")
     p.set_defaults(fn=cmd_embed)
 

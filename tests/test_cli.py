@@ -217,3 +217,70 @@ def test_cli_embed_exports_npz(tmp_path, capsys):
         np.linalg.norm(z["text_embeddings"], axis=1), 1.0, atol=1e-5)
     assert list(z["image_files"]) == [f"im{i}.jpg" for i in range(5)]
     assert list(z["texts"]) == ["a red dog", "a blue cat", "fish"]
+
+
+def test_cli_embed_from_shards(tmp_path, capsys):
+    """`cli embed --shards`: every tar record's image AND caption embedded,
+    unit-norm, key-aligned."""
+    import cv2
+    import jax
+    import orbax.checkpoint as ocp
+
+    from mae_clip_tpu.config import Config
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer
+
+    data = tmp_path / "data"
+    img_dir = data / "Images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    rows = ["id,image,caption"]
+    for i in range(7):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8))
+        rows.append(f"{i},{name},a photo number {i}")
+    (data / "captions.csv").write_text("\n".join(rows))
+
+    shard_dir = tmp_path / "shards"
+    cli.main(["data-shards", "--captions-dir", str(data),
+              "--image-path", str(img_dir), "--shard-size", "4",
+              str(shard_dir)])
+    vocab = tmp_path / "vocab.txt"
+    cli.main(["build-vocab", str(data / "captions.csv"), str(vocab),
+              "--vocab-size", "64"])
+    capsys.readouterr()
+
+    sets = ["--set", f"vocab_file={vocab}", "--set", "model_name=vit_s16",
+            "--set", "image_embedding=384", "--set", "size=32",
+            "--set", "batch_size=4", "--set", "max_length=8",
+            "--set", "compute_dtype=float32"]
+    cfg = Config(model_name="vit_s16", image_embedding=384, size=32,
+                 batch_size=4, max_length=8, compute_dtype="float32",
+                 vocab_file=str(vocab))
+    tok = WordPieceTokenizer.from_vocab_file(str(vocab))
+    model, _ = cli._build_model(cfg, vocab_size=tok.vocab_size)
+    batch = {"image": np.zeros((4, 32, 32, 3), np.float32),
+             "input_ids": np.zeros((4, 8), np.int32),
+             "attention_mask": np.ones((4, 8), np.int32)}
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, mask_rng=jax.random.PRNGKey(1))
+    )(jax.random.PRNGKey(0), batch)
+    ckpt = tmp_path / "ckpt"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(ckpt), {"params": variables["params"]})
+    ckptr.wait_until_finished()
+
+    out = tmp_path / "emb.npz"
+    cli.main(["embed", "--checkpoint", str(ckpt),
+              "--shards", str(shard_dir / "shard-*.tar"),
+              "--output", str(out), *sets])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["records"] == 7 and report["dim"] == 256
+
+    z = np.load(out)
+    assert z["image_embeddings"].shape == (7, 256)
+    assert z["text_embeddings"].shape == (7, 256)
+    np.testing.assert_allclose(
+        np.linalg.norm(z["image_embeddings"], axis=1), 1.0, atol=1e-5)
+    assert len(z["keys"]) == 7 and len(set(z["keys"].tolist())) == 7
+    assert all(t.startswith("a photo number") for t in z["texts"])
