@@ -463,7 +463,8 @@ def cmd_serve(args) -> None:
 
     svc = RetrievalService(model, variables, tokenizer, gallery=gallery,
                            gallery_names=names, max_length=cfg.max_length,
-                           dedup_stride=5 if names else 1)
+                           dedup_stride=5 if names else 1,
+                           quantize_gallery=args.quantize_gallery)
     if args.microbatch > 1 and gallery is not None:
         svc.enable_micro_batching(max_batch=args.microbatch,
                                   max_wait_ms=args.microbatch_wait_ms)
@@ -1033,6 +1034,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--coco-val", help="build the retrieval gallery")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--quantize-gallery", action="store_true",
+                   help="hold the gallery int8 at rest (4x less memory; "
+                        "per-row symmetric quantization of normalized "
+                        "embeddings, chunks dequantized in the top-k scan)")
     p.add_argument("--microbatch", type=int, default=16,
                    help="coalesce up to N concurrent /retrieve requests "
                         "into one jitted call (1 disables)")

@@ -81,6 +81,78 @@ def retrieval_topk(queries: jax.Array, gallery: jax.Array, k: int,
     return scores, indices
 
 
+@jax.jit
+def quantize_embeddings(emb: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8 quantization of (already L2-normalized)
+    gallery embeddings: 4x less serving memory at rest.
+
+    Returns (q (N, D) int8, scales (N,) f32) with dequant = q * scale;
+    per-row amax maps to +-127, so worst-case per-component error is
+    amax/254 (~0.2% of a unit row). The reference holds its gallery in
+    f32 (inference.py:24-27); this is a serving-scale option it lacks.
+    """
+    x = emb.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale[:, 0]
+
+
+def dequantize_embeddings(q: jax.Array, scales: jax.Array,
+                          dtype=jnp.float32) -> jax.Array:
+    return q.astype(dtype) * scales[:, None].astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+def retrieval_topk_int8(queries: jax.Array, gallery_q: jax.Array,
+                        scales: jax.Array, k: int,
+                        chunk_size: int = 8192
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """``retrieval_topk`` over an int8-quantized gallery: chunks are
+    dequantized on the fly inside the scan, so only ``chunk_size`` f32
+    rows ever exist at once — the gallery stays int8 at rest. Queries are
+    L2-normalized; the gallery is assumed quantized FROM normalized rows
+    (``quantize_embeddings``), so scores remain ~cosine."""
+    q = l2_normalize(queries.astype(jnp.float32))
+    n, d = gallery_q.shape
+    nq = q.shape[0]
+
+    def score(chunk_q, chunk_s):
+        g = chunk_q.astype(jnp.float32) * chunk_s[:, None]
+        return jnp.matmul(q, g.T, preferred_element_type=jnp.float32)
+
+    if n <= chunk_size:
+        return jax.lax.top_k(score(gallery_q, scales), k)
+
+    num_chunks = -(-n // chunk_size)
+    pad = num_chunks * chunk_size - n
+    g_p = jnp.pad(gallery_q, ((0, pad), (0, 0)))
+    s_p = jnp.pad(scales, (0, pad))
+    chunks = g_p.reshape(num_chunks, chunk_size, d)
+    schunks = s_p.reshape(num_chunks, chunk_size)
+    base_ids = jnp.arange(chunk_size)
+
+    def body(carry, inp):
+        best_s, best_i = carry
+        chunk, chunk_s, cidx = inp
+        s = score(chunk, chunk_s)
+        ids = base_ids[None, :] + cidx * chunk_size
+        valid = ids < n
+        s = jnp.where(valid, s, -jnp.inf)
+        cs = jnp.concatenate([best_s, s], axis=1)
+        ci = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (nq, chunk_size))], axis=1)
+        ts, ti_local = jax.lax.top_k(cs, k)
+        ti = jnp.take_along_axis(ci, ti_local, axis=1)
+        return (ts, ti), None
+
+    init = (jnp.full((nq, k), -jnp.inf, jnp.float32),
+            jnp.zeros((nq, k), jnp.int32))
+    (scores, indices), _ = jax.lax.scan(
+        body, init, (chunks, schunks, jnp.arange(num_chunks)))
+    return scores, indices
+
+
 def strided_dedup(indices: jax.Array, n: int, stride: int = 5) -> jax.Array:
     """The reference's duplicate-caption skip: take every ``stride``-th hit
     from the top n*stride (reference: inference.py:46-47 ``indices[::5]``)."""

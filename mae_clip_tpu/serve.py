@@ -109,7 +109,8 @@ class RetrievalService:
                  gallery: Optional[jax.Array] = None,
                  gallery_names: Optional[Sequence[str]] = None,
                  max_length: Optional[int] = None,
-                 dedup_stride: int = 1):
+                 dedup_stride: int = 1,
+                 quantize_gallery: bool = False):
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -117,6 +118,14 @@ class RetrievalService:
         self.gallery_names = list(gallery_names or [])
         self.max_length = max_length
         self.dedup_stride = dedup_stride
+        # int8 gallery at rest (4x less serving memory): normalized rows
+        # quantized per-row; top-k dequantizes chunks on the fly.
+        self.gallery_q = self.gallery_scales = None
+        if gallery is not None and quantize_gallery:
+            from mae_clip_tpu.ops.retrieval import quantize_embeddings
+            self.gallery_q, self.gallery_scales = quantize_embeddings(
+                l2_normalize(jnp.asarray(gallery).astype(jnp.float32)))
+            self.gallery = None
 
         from mae_clip_tpu.eval.retrieval import (_image_embed_fn,
                                                  _text_embed_fn)
@@ -140,12 +149,11 @@ class RetrievalService:
         size). Requests asking for more than ``max_n`` results get
         ``max_n`` (the static-k ceiling).
         """
-        if self.gallery is None:
+        if not self.gallery_size:
             raise ValueError("micro-batching needs a gallery loaded")
         self._mb_fixed_length = fixed_length or self.max_length or 64
         self._mb_max_batch = max_batch
-        self._mb_k = min(self.dedup_stride * max_n,
-                         int(self.gallery.shape[0]))
+        self._mb_k = min(self.dedup_stride * max_n, self.gallery_size)
         self._mb_max_n = max_n
         self._batcher = MicroBatcher(self._retrieve_many,
                                      max_batch=max_batch,
@@ -165,7 +173,7 @@ class RetrievalService:
             self._mb_max_batch)
         emb = self._embed_text(self.variables, jnp.asarray(ids),
                                jnp.asarray(mask))
-        scores, idx = retrieval_topk(emb, self.gallery, k=self._mb_k)
+        scores, idx = self._topk(emb, self._mb_k)
         scores, idx = np.asarray(scores), np.asarray(idx)
         out = []
         for row, (_, n) in enumerate(items):
@@ -190,14 +198,29 @@ class RetrievalService:
         return np.asarray(self._embed_image(self.variables,
                                             jnp.asarray(images)))
 
+    @property
+    def gallery_size(self) -> int:
+        if self.gallery is not None:
+            return int(self.gallery.shape[0])
+        if self.gallery_q is not None:
+            return int(self.gallery_q.shape[0])
+        return 0
+
+    def _topk(self, emb, k: int):
+        if self.gallery_q is not None:
+            from mae_clip_tpu.ops.retrieval import retrieval_topk_int8
+            return retrieval_topk_int8(emb, self.gallery_q,
+                                       self.gallery_scales, k=k)
+        return retrieval_topk(emb, self.gallery, k=k)
+
     def retrieve(self, query: str, n: int = 9) -> Dict:
-        if self.gallery is None:
+        if not self.gallery_size:
             raise ValueError("service has no gallery loaded")
         if self._batcher is not None:
             return self._batcher.submit((query, n))
         text_emb = jnp.asarray(self.embed_text([query]))
-        k = n * self.dedup_stride
-        scores, idx = retrieval_topk(text_emb, self.gallery, k=k)
+        k = min(n * self.dedup_stride, self.gallery_size)
+        scores, idx = self._topk(text_emb, k)
         idx = np.asarray(idx)[0][::self.dedup_stride][:n]
         scores = np.asarray(scores)[0][::self.dedup_stride][:n]
         names = ([self.gallery_names[i] for i in idx]
@@ -239,8 +262,7 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
             if self.path == "/healthz":
                 self._send(200, {
                     "status": "ok",
-                    "gallery_size": (0 if service.gallery is None
-                                     else int(service.gallery.shape[0])),
+                    "gallery_size": service.gallery_size,
                     "backend": jax.default_backend(),
                 })
             else:

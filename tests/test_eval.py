@@ -433,3 +433,36 @@ def test_zero_shot_template_ensembling():
     np.testing.assert_allclose(np.asarray(both), np.asarray(manual),
                                atol=1e-5)
     assert not np.allclose(np.asarray(both), np.asarray(single))
+
+
+def test_int8_gallery_quantization_and_topk():
+    """quantize_embeddings bounds per-component error at ~scale/2 and
+    retrieval_topk_int8 reproduces exact top-1 (both the single-matmul and
+    the chunked-scan paths)."""
+    from mae_clip_tpu.ops.retrieval import (dequantize_embeddings,
+                                            l2_normalize,
+                                            quantize_embeddings,
+                                            retrieval_topk,
+                                            retrieval_topk_int8)
+
+    rng = np.random.default_rng(5)
+    gallery = np.asarray(l2_normalize(
+        jnp.asarray(rng.normal(size=(200, 32)).astype(np.float32))))
+    q8, scales = quantize_embeddings(jnp.asarray(gallery))
+    assert q8.dtype == jnp.int8 and scales.shape == (200,)
+    deq = np.asarray(dequantize_embeddings(q8, scales))
+    err = np.abs(deq - gallery)
+    assert err.max() <= float(np.max(np.asarray(scales))) / 2 + 1e-6
+
+    # queries = noisy copies of gallery rows -> exact top-1 must survive
+    picks = rng.integers(0, 200, size=16)
+    queries = gallery[picks] + 0.01 * rng.normal(size=(16, 32)).astype(
+        np.float32)
+    _, exact = retrieval_topk(jnp.asarray(queries), jnp.asarray(gallery),
+                              k=5)
+    for chunk in (8192, 64):     # single-matmul and scan paths
+        _, qi = retrieval_topk_int8(jnp.asarray(queries), q8, scales, k=5,
+                                    chunk_size=chunk)
+        np.testing.assert_array_equal(np.asarray(qi)[:, 0],
+                                      np.asarray(exact)[:, 0])
+        np.testing.assert_array_equal(np.asarray(qi)[:, 0], picks)

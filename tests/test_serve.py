@@ -213,3 +213,20 @@ def test_micro_batching_clamps_topk_to_gallery(service):
     finally:
         batcher.close()
         service._batcher = None
+
+
+def test_quantized_gallery_matches_f32_retrieval(service):
+    """quantize_gallery=True: the int8-at-rest service returns the same
+    ranked matches as the f32 gallery on a separated gallery."""
+    svc_q = RetrievalService(service.model, service.variables,
+                             service.tokenizer, gallery=service.gallery,
+                             gallery_names=service.gallery_names,
+                             max_length=16, quantize_gallery=True)
+    assert svc_q.gallery is None and svc_q.gallery_q.dtype == jnp.int8
+    assert svc_q.gallery_size == service.gallery_size == 5
+
+    for query in ("a red square", "a blue circle"):
+        a = service.retrieve(query, n=3)
+        b = svc_q.retrieve(query, n=3)
+        assert a["indices"] == b["indices"]
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=2e-2)
