@@ -262,6 +262,12 @@ class Config:
             raise ValueError(f"unknown model_name {self.model_name!r}")
         if self.steps_per_call < 0:
             raise ValueError("steps_per_call must be >= 0")
+        if self.grad_clip_norm < 0:
+            raise ValueError("grad_clip_norm must be >= 0 (0 disables)")
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError("ema_decay must be in [0, 1) (0 disables)")
+        if self.checkpoint_every < 0:
+            raise ValueError("checkpoint_every must be >= 0 (0 disables)")
         if not 0.0 <= self.mae.mask_ratio < 1.0:
             raise ValueError("mask_ratio must be in [0, 1)")
         if self.mae.decoder_style not in ("full", "cross"):

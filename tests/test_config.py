@@ -150,3 +150,18 @@ def test_frozen_text_eval_mode_semantics():
         return np.asarray(feats, dtype=np.float64)
 
     np.testing.assert_array_equal(text_feats(True), text_feats(False))
+
+
+def test_validate_new_training_knobs():
+    import pytest
+
+    from mae_clip_tpu.config import Config
+
+    with pytest.raises(ValueError, match="grad_clip_norm"):
+        Config(grad_clip_norm=-1.0).validate()
+    with pytest.raises(ValueError, match="ema_decay"):
+        Config(ema_decay=1.0).validate()
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        Config(checkpoint_every=-1).validate()
+    Config(grad_clip_norm=1.0, ema_decay=0.999,
+           checkpoint_every=0).validate()
