@@ -89,6 +89,53 @@ def _tokenizer(cfg: Config):
     return WordPieceTokenizer.from_vocab_file(cfg.vocab_file)
 
 
+def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds, epoch_seed,
+                       train_tf=None, valid_tf=None):
+    """Stores + index-loader factories for ``cfg.device_data`` (replicated,
+    or row-sharded over the mesh with ``device_data_sharded``). Shared by
+    ``cmd_train`` and ``cmd_mae_pretrain``. ``epoch_seed`` is the mutable
+    1-element per-epoch reshuffle counter both commands use."""
+    sharded = cfg.device_data_sharded and mesh is not None
+    if sharded:
+        from mae_clip_tpu.data.device_store import (
+            build_sharded_device_store, make_sharded_index_loader)
+        train_store = build_sharded_device_store(
+            train_ds, mesh=mesh, text_features=train_tf)
+        valid_store = build_sharded_device_store(
+            valid_ds, mesh=mesh, text_features=valid_tf)
+        n_shards = mesh.shape[cfg.mesh.axis_names[0]]
+
+        def train_loader():
+            epoch_seed[0] += 1
+            return make_sharded_index_loader(
+                len(train_ds), cfg.batch_size, n_shards, shuffle=True,
+                seed=cfg.seed, epoch=epoch_seed[0])
+
+        def valid_loader():
+            return make_sharded_index_loader(len(valid_ds),
+                                             cfg.batch_size, n_shards)
+    else:
+        from mae_clip_tpu.data.device_store import (build_device_store,
+                                                    make_index_loader)
+        train_store = build_device_store(train_ds, text_features=train_tf)
+        valid_store = build_device_store(valid_ds, text_features=valid_tf)
+
+        def train_loader():
+            epoch_seed[0] += 1
+            return make_index_loader(len(train_ds), cfg.batch_size,
+                                     shuffle=True, seed=epoch_seed[0])
+
+        def valid_loader():
+            return make_index_loader(len(valid_ds), cfg.batch_size)
+
+    layout = "row-sharded over the mesh" if sharded else "replicated"
+    print(f"device-resident data ({layout}): "
+          f"{(train_store.nbytes + valid_store.nbytes) / 2**20:.0f} MiB "
+          f"staged in HBM ({train_store.n_real} train + "
+          f"{valid_store.n_real} valid examples)")
+    return train_store, valid_store, train_loader, valid_loader
+
+
 # ---------------------------------------------------------------------------
 
 def cmd_train(args) -> None:
@@ -181,28 +228,13 @@ def cmd_train(args) -> None:
 
     # Device-resident data: whole decoded dataset staged in HBM, batches
     # gathered on device from (B,) index vectors (data.device_store).
-    train_store = valid_store = None
-    sharded_store = cfg.device_data_sharded and mesh is not None
+    epoch_seed = [cfg.seed]
+    train_store = valid_store = train_loader = valid_loader = None
     if cfg.device_data:
-        if sharded_store:
-            from mae_clip_tpu.data.device_store import \
-                build_sharded_device_store
-            train_store = build_sharded_device_store(
-                train_ds, mesh=mesh, text_features=train_tf)
-            valid_store = build_sharded_device_store(
-                valid_ds, mesh=mesh, text_features=valid_tf)
-        else:
-            from mae_clip_tpu.data.device_store import build_device_store
-            train_store = build_device_store(train_ds,
-                                             text_features=train_tf)
-            valid_store = build_device_store(valid_ds,
-                                             text_features=valid_tf)
-        layout = ("row-sharded over the mesh" if sharded_store
-                  else "replicated")
-        print(f"device-resident data ({layout}): "
-              f"{(train_store.nbytes + valid_store.nbytes) / 2**20:.0f} MiB "
-              f"staged in HBM ({train_store.n} train + {valid_store.n} "
-              f"valid examples)")
+        (train_store, valid_store, train_loader,
+         valid_loader) = _device_data_setup(
+            cfg, mesh, train_ds, valid_ds, epoch_seed,
+            train_tf=train_tf, valid_tf=valid_tf)
 
     mngr = CheckpointManager(cfg.checkpoints)
     writer = MetricWriter(cfg.logdir)
@@ -212,32 +244,7 @@ def cmd_train(args) -> None:
                       progress=getattr(args, "progress", True),
                       train_store=train_store, valid_store=valid_store)
 
-    epoch_seed = [cfg.seed]
-
-    if cfg.device_data and sharded_store:
-        from mae_clip_tpu.data.device_store import make_sharded_index_loader
-        n_shards = mesh.shape[cfg.mesh.axis_names[0]]
-
-        def train_loader():
-            epoch_seed[0] += 1
-            return make_sharded_index_loader(
-                len(train_ds), cfg.batch_size, n_shards, shuffle=True,
-                seed=cfg.seed, epoch=epoch_seed[0])
-
-        def valid_loader():
-            return make_sharded_index_loader(len(valid_ds), cfg.batch_size,
-                                             n_shards)
-    elif cfg.device_data:
-        from mae_clip_tpu.data.device_store import make_index_loader
-
-        def train_loader():
-            epoch_seed[0] += 1
-            return make_index_loader(len(train_ds), cfg.batch_size,
-                                     shuffle=True, seed=epoch_seed[0])
-
-        def valid_loader():
-            return make_index_loader(len(valid_ds), cfg.batch_size)
-    else:
+    if train_loader is None:
         def train_loader():
             epoch_seed[0] += 1
             return make_loader(train_ds, cfg.batch_size, shuffle=True,
@@ -599,25 +606,12 @@ def cmd_mae_pretrain(args) -> None:
         lambda r, b: model.init(r, b, jax.random.PRNGKey(1))
     )(jax.random.PRNGKey(cfg.seed), init_img)
 
-    train_store = valid_store = None
-    sharded_store = cfg.device_data_sharded and mesh is not None
-    if cfg.device_data and sharded_store:
-        from mae_clip_tpu.data.device_store import \
-            build_sharded_device_store
-        train_store = build_sharded_device_store(train_ds, mesh=mesh)
-        valid_store = build_sharded_device_store(valid_ds, mesh=mesh)
-        print(f"device-resident data (row-sharded over the mesh): "
-              f"{(train_store.nbytes + valid_store.nbytes) / 2**20:.0f} "
-              f"MiB staged in HBM ({train_store.n} train + "
-              f"{valid_store.n} valid examples)")
-    elif cfg.device_data:
-        from mae_clip_tpu.data.device_store import build_device_store
-        train_store = build_device_store(train_ds)
-        valid_store = build_device_store(valid_ds)
-        print(f"device-resident data: "
-              f"{(train_store.nbytes + valid_store.nbytes) / 2**20:.0f} MiB "
-              f"staged in HBM ({train_store.n} train + {valid_store.n} "
-              f"valid images)")
+    epoch_seed = [cfg.seed]
+    train_store = valid_store = train_loader = valid_loader = None
+    if cfg.device_data:
+        (train_store, valid_store, train_loader,
+         valid_loader) = _device_data_setup(cfg, mesh, train_ds, valid_ds,
+                                            epoch_seed)
 
     mngr = CheckpointManager(cfg.checkpoints)
     writer = MetricWriter(cfg.logdir)
@@ -627,32 +621,7 @@ def cmd_mae_pretrain(args) -> None:
                       objective="mae",
                       train_store=train_store, valid_store=valid_store)
 
-    epoch_seed = [cfg.seed]
-
-    if cfg.device_data and sharded_store:
-        from mae_clip_tpu.data.device_store import make_sharded_index_loader
-        n_shards = mesh.shape[cfg.mesh.axis_names[0]]
-
-        def train_loader():
-            epoch_seed[0] += 1
-            return make_sharded_index_loader(
-                len(train_ds), cfg.batch_size, n_shards, shuffle=True,
-                seed=cfg.seed, epoch=epoch_seed[0])
-
-        def valid_loader():
-            return make_sharded_index_loader(len(valid_ds), cfg.batch_size,
-                                             n_shards)
-    elif cfg.device_data:
-        from mae_clip_tpu.data.device_store import make_index_loader
-
-        def train_loader():
-            epoch_seed[0] += 1
-            return make_index_loader(len(train_ds), cfg.batch_size,
-                                     shuffle=True, seed=epoch_seed[0])
-
-        def valid_loader():
-            return make_index_loader(len(valid_ds), cfg.batch_size)
-    else:
+    if train_loader is None:
         def train_loader():
             epoch_seed[0] += 1
             return make_image_loader(train_ds, cfg.batch_size, shuffle=True,
@@ -834,6 +803,11 @@ def cmd_embed(args) -> None:
                 if len(buf) == bs:
                     flush()
         flush()
+        if not keys:
+            raise SystemExit(
+                f"no (image, caption) records found in {args.shards!r} "
+                f"({len(shards)} shard file(s) matched — are the member "
+                f"extensions .jpg/.png + .txt?)")
         out["image_embeddings"] = np.asarray(
             l2_normalize(jnp.asarray(np.concatenate(chunks))))
         enc = tokenizer.encode_batch(captions, max_length=cfg.max_length,

@@ -56,6 +56,7 @@ class DeviceStore:
             raise ValueError(f"inconsistent leading dims: {ns}")
         self.arrays = arrays
         self.n = next(iter(ns.values()))
+        self.n_real = self.n      # sharded stores pad; see subclass
 
         def gather(arrays, indices):
             return {k: jnp.take(v, indices, axis=0)
@@ -109,6 +110,16 @@ def _upload_chunked(big: np.ndarray, chunk_rows: int,
     return buf
 
 
+def _decode_all(dataset, num_threads: int) -> np.ndarray:
+    """Thread-pool decode of every image in ``dataset`` (respects its
+    native fast path and host cache) into one stacked array."""
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
+        return np.stack(list(pool.map(dataset.load_image,
+                                      range(len(dataset)))))
+
+
 def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
                        images: Optional[np.ndarray] = None,
                        num_threads: int = 8,
@@ -123,12 +134,8 @@ def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
     ``images``: preloaded (N, ...) array bypassing file decode (tests,
     synthetic data).
     """
-    import concurrent.futures as cf
-
     if images is None:
-        with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
-            imgs = list(pool.map(dataset.load_image, range(len(dataset))))
-        images = np.stack(imgs)
+        images = _decode_all(dataset, num_threads)
     per_row = int(np.prod(images.shape[1:])) * images.dtype.itemsize
     rows = max(1, chunk_bytes // max(per_row, 1))
     arrays = {"image": _upload_chunked(images, rows, sharding)}
@@ -164,13 +171,15 @@ class ShardedDeviceStore(DeviceStore):
     """
 
     def __init__(self, arrays: Dict[str, "jax.Array"], mesh,
-                 axis: str = "data"):
+                 axis: str = "data", n_real: Optional[int] = None):
         import jax
         import jax.numpy as jnp
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         super().__init__(arrays)
+        if n_real is not None:
+            self.n_real = n_real  # rows before pad-to-multiple-of-D
         d = mesh.shape[axis]
         if self.n % d:
             raise ValueError(
@@ -206,17 +215,13 @@ def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
     index loader never marks them valid), place each array with ONE
     ``device_put`` per array (each device materializes only its slice —
     no transient 2x)."""
-    import concurrent.futures as cf
-
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if mesh is None:
         raise ValueError("build_sharded_device_store needs a mesh")
     if images is None:
-        with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
-            imgs = list(pool.map(dataset.load_image, range(len(dataset))))
-        images = np.stack(imgs)
+        images = _decode_all(dataset, num_threads)
     d = mesh.shape[axis]
     n = len(images)
     rps = -(-n // d)
@@ -237,9 +242,7 @@ def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
     elif dataset is not None and hasattr(dataset, "input_ids"):
         arrays["input_ids"] = put(dataset.input_ids)
         arrays["attention_mask"] = put(dataset.attention_mask)
-    store = ShardedDeviceStore(arrays, mesh, axis)
-    store.n_real = n
-    return store
+    return ShardedDeviceStore(arrays, mesh, axis, n_real=n)
 
 
 def make_sharded_index_loader(n: int, batch_size: int, n_shards: int,

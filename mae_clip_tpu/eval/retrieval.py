@@ -150,7 +150,10 @@ def make_retrieval_eval_fn(model, dataset, make_loader_fn, batch_size: int,
 
     def eval_fn(trainer, epoch):
         del epoch
-        variables = trainer.state.variables()
+        # Same weights the valid loss / best-val selection / serving use:
+        # the EMA tree when ema_eval is on, else the live params.
+        from mae_clip_tpu.train.loop import _eval_variables
+        variables = _eval_variables(trainer.state, trainer.cfg)
         n = len(dataset) if max_samples is None else min(len(dataset),
                                                          max_samples)
         if store is not None:

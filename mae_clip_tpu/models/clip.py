@@ -265,3 +265,26 @@ class CLIPModel(nn.Module):
             if compute_contrastive:
                 out["loss"] = out["clip_loss"] + cfg.mae.loss_weight * mae_loss
         return out
+
+
+if __name__ == "__main__":
+    # Reference parity: the repo's only self-test is `python CLIP.py`
+    # (reference CLIP.py:54-66 — random 8x3x224x224 batch, one forward,
+    # print the loss). Same smoke here, jitted (eager remote execution is
+    # ~100x slow on a tunneled TPU). The real coverage lives in tests/.
+    import jax
+    import numpy as np
+
+    cfg = Config()
+    model = CLIPModel(cfg, text_config=DistilBertConfig(n_layers=2))
+    _rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            _rng.normal(size=(8, 224, 224, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(
+            _rng.integers(5, 300, size=(8, 25)).astype(np.int32)),
+        "attention_mask": jnp.ones((8, 25), jnp.int32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    out = jax.jit(model.apply)(variables, batch)
+    print("loss", float(out["loss"]))

@@ -46,38 +46,45 @@ def retrieval_topk(queries: jax.Array, gallery: jax.Array, k: int,
     if normalize:
         q = l2_normalize(q)
         g = l2_normalize(g)
+    score = lambda chunk: jnp.matmul(q, chunk.T,
+                                     preferred_element_type=jnp.float32)
+    return _chunked_topk(q, (g,), g.shape[0], k, chunk_size, score)
 
-    n, d = g.shape
+
+def _chunked_topk(q: jax.Array, arrays: Tuple[jax.Array, ...], n: int,
+                  k: int, chunk_size: int, score
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Shared running-top-k scan: ``arrays`` are (N, ...) gallery-side
+    arrays chunked together; ``score(*chunks) -> (Q, chunk)`` produces each
+    chunk's similarities. Padded rows score -inf; the carry merge is a
+    monoid (concat + top_k) XLA keeps entirely on-device."""
     nq = q.shape[0]
     if n <= chunk_size:
-        scores = jnp.matmul(q, g.T, preferred_element_type=jnp.float32)
-        return jax.lax.top_k(scores, k)
+        return jax.lax.top_k(score(*arrays), k)
 
-    # Pad the gallery to a whole number of chunks; padded rows score -inf.
     num_chunks = -(-n // chunk_size)
     pad = num_chunks * chunk_size - n
-    g_p = jnp.pad(g, ((0, pad), (0, 0)))
-    chunks = g_p.reshape(num_chunks, chunk_size, d)
+    chunked = tuple(
+        jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
+            (num_chunks, chunk_size) + a.shape[1:]) for a in arrays)
     base_ids = jnp.arange(chunk_size)
 
     def body(carry, inp):
         best_s, best_i = carry
-        chunk, cidx = inp
-        s = jnp.matmul(q, chunk.T, preferred_element_type=jnp.float32)
+        cidx, chunk = inp[0], inp[1:]
+        s = score(*chunk)
         ids = base_ids[None, :] + cidx * chunk_size
-        valid = ids < n
-        s = jnp.where(valid, s, -jnp.inf)
+        s = jnp.where(ids < n, s, -jnp.inf)
         cs = jnp.concatenate([best_s, s], axis=1)
-        ci = jnp.concatenate([best_i, jnp.broadcast_to(ids, (nq, chunk_size))],
-                             axis=1)
+        ci = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (nq, chunk_size))], axis=1)
         ts, ti_local = jax.lax.top_k(cs, k)
-        ti = jnp.take_along_axis(ci, ti_local, axis=1)
-        return (ts, ti), None
+        return (ts, jnp.take_along_axis(ci, ti_local, axis=1)), None
 
     init = (jnp.full((nq, k), -jnp.inf, jnp.float32),
             jnp.zeros((nq, k), jnp.int32))
     (scores, indices), _ = jax.lax.scan(
-        body, init, (chunks, jnp.arange(num_chunks)))
+        body, init, (jnp.arange(num_chunks),) + chunked)
     return scores, indices
 
 
@@ -114,43 +121,13 @@ def retrieval_topk_int8(queries: jax.Array, gallery_q: jax.Array,
     L2-normalized; the gallery is assumed quantized FROM normalized rows
     (``quantize_embeddings``), so scores remain ~cosine."""
     q = l2_normalize(queries.astype(jnp.float32))
-    n, d = gallery_q.shape
-    nq = q.shape[0]
 
     def score(chunk_q, chunk_s):
         g = chunk_q.astype(jnp.float32) * chunk_s[:, None]
         return jnp.matmul(q, g.T, preferred_element_type=jnp.float32)
 
-    if n <= chunk_size:
-        return jax.lax.top_k(score(gallery_q, scales), k)
-
-    num_chunks = -(-n // chunk_size)
-    pad = num_chunks * chunk_size - n
-    g_p = jnp.pad(gallery_q, ((0, pad), (0, 0)))
-    s_p = jnp.pad(scales, (0, pad))
-    chunks = g_p.reshape(num_chunks, chunk_size, d)
-    schunks = s_p.reshape(num_chunks, chunk_size)
-    base_ids = jnp.arange(chunk_size)
-
-    def body(carry, inp):
-        best_s, best_i = carry
-        chunk, chunk_s, cidx = inp
-        s = score(chunk, chunk_s)
-        ids = base_ids[None, :] + cidx * chunk_size
-        valid = ids < n
-        s = jnp.where(valid, s, -jnp.inf)
-        cs = jnp.concatenate([best_s, s], axis=1)
-        ci = jnp.concatenate(
-            [best_i, jnp.broadcast_to(ids, (nq, chunk_size))], axis=1)
-        ts, ti_local = jax.lax.top_k(cs, k)
-        ti = jnp.take_along_axis(ci, ti_local, axis=1)
-        return (ts, ti), None
-
-    init = (jnp.full((nq, k), -jnp.inf, jnp.float32),
-            jnp.zeros((nq, k), jnp.int32))
-    (scores, indices), _ = jax.lax.scan(
-        body, init, (chunks, schunks, jnp.arange(num_chunks)))
-    return scores, indices
+    return _chunked_topk(q, (gallery_q, scales), gallery_q.shape[0], k,
+                         chunk_size, score)
 
 
 def strided_dedup(indices: jax.Array, n: int, stride: int = 5) -> jax.Array:

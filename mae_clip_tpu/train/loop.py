@@ -274,23 +274,14 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         new_params = jax.tree_util.tree_map(
             lambda p, u, t: p + u.astype(p.dtype) if t else p,
             state.params, updates, trainable_mask(cfg, state.params))
-        new_ema = state.ema_params
-        if cfg.ema_decay > 0 and state.ema_params is not None:
-            # EMA over trainable leaves only; frozen leaves stay identity
-            # (aliasing the donated buffer — same trick as the update skip).
-            d = cfg.ema_decay
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p, t: (d * e + (1 - d) * p).astype(e.dtype)
-                if t else e,
-                state.ema_params, new_params,
-                trainable_mask(cfg, state.params))
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
             batch_stats=(new_stats if new_stats is not None
                          else state.batch_stats),
-            ema_params=new_ema)
+            ema_params=_ema_update(cfg, state.ema_params, new_params,
+                                   state.params))
         return new_state, metrics
 
     metrics_proto = {"loss": 0, "clip_loss": 0,
@@ -409,20 +400,26 @@ def make_mae_pretrain_step(model, tx, cfg: Config,
         new_params = jax.tree_util.tree_map(
             lambda p, u, t: p + u.astype(p.dtype) if t else p,
             state.params, updates, trainable_mask(cfg, state.params))
-        new_ema = state.ema_params
-        if cfg.ema_decay > 0 and state.ema_params is not None:
-            d = cfg.ema_decay
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p, t: (d * e + (1 - d) * p).astype(e.dtype)
-                if t else e,
-                state.ema_params, new_params,
-                trainable_mask(cfg, state.params))
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  opt_state=new_opt_state,
-                                  ema_params=new_ema)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            opt_state=new_opt_state,
+            ema_params=_ema_update(cfg, state.ema_params, new_params,
+                                   state.params))
         return new_state, metrics
 
     return _compile_step(step_fn, cfg, mesh, {"loss": 0, "mae_loss": 0})
+
+
+def _ema_update(cfg: Config, ema_params, new_params, params):
+    """new_ema = d*ema + (1-d)*new_params over TRAINABLE leaves; frozen
+    leaves pass through as identities (aliasing the donated buffer — same
+    trick as the frozen-param update skip). No-op when EMA is disabled."""
+    if cfg.ema_decay <= 0 or ema_params is None:
+        return ema_params
+    d = cfg.ema_decay
+    return jax.tree_util.tree_map(
+        lambda e, p, t: (d * e + (1 - d) * p).astype(e.dtype) if t else e,
+        ema_params, new_params, trainable_mask(cfg, params))
 
 
 def _eval_variables(state: TrainState, cfg: Config) -> dict:
