@@ -381,3 +381,16 @@ def test_sharded_store_gather_and_training_matches_replicated():
     for a, b in zip(jax.tree_util.tree_leaves(states["sharded"].params),
                     jax.tree_util.tree_leaves(states["replicated"].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sharded_index_loader_fewer_rows_than_shards():
+    """n < n_shards: empty shards emit only in-range pad indices with
+    valid=False; every real row still appears exactly once."""
+    from mae_clip_tpu.data.device_store import make_sharded_index_loader
+
+    batches = list(make_sharded_index_loader(3, 8, 8))
+    assert len(batches) == 1
+    b = batches[0]
+    assert sorted(b["indices"][b["valid"]].tolist()) == [0, 1, 2]
+    assert b["valid"].sum() == 3
+    assert (b["indices"] >= 0).all() and (b["indices"] < 8).all()
