@@ -238,6 +238,13 @@ class Config:
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     global_contrastive: bool = True  # all-gather embeddings for global-batch loss
     loss_chunk_size: int = 0         # 0 = unchunked; >0 = blockwise global loss
+    # Contrastive objective: "softmax" = the reference's soft-target
+    # symmetric InfoNCE (CLIP.py:34-43, uses `temperature`). "siglip" =
+    # pairwise sigmoid loss (arXiv:2303.15343) with learnable log-scale +
+    # bias params owned by the model; its global version rides an ICI ring
+    # (ppermute) instead of an all-gather, so memory stays O(local_B^2) at
+    # any global batch.
+    contrastive_loss: str = "softmax"
     mae: MAEConfig = dataclasses.field(default_factory=MAEConfig)
 
     # vocab file for the builtin WordPiece tokenizer (HF-format vocab.txt)
@@ -275,6 +282,9 @@ class Config:
                 f"unknown decoder_style {self.mae.decoder_style!r}")
         if self.lr_schedule not in ("constant", "cosine"):
             raise ValueError(f"unknown lr_schedule {self.lr_schedule!r}")
+        if self.contrastive_loss not in ("softmax", "siglip"):
+            raise ValueError(
+                f"unknown contrastive_loss {self.contrastive_loss!r}")
         if self.cache_text_features and (
                 self.text_trainable or not self.frozen_text_eval_mode):
             raise ValueError(

@@ -19,6 +19,7 @@ TPU-native additions:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Dict, Optional
 
 import jax
@@ -134,6 +135,16 @@ class CLIPModel(nn.Module):
                                                cfg.dropout, **common)
         self.text_projection = ProjectionHead(cfg.projection_dim,
                                               cfg.dropout, **common)
+        if cfg.contrastive_loss == "siglip":
+            # SigLIP's learnable log-space temperature + bias
+            # (arXiv:2303.15343 §4: init t' = log 10, b = -10). Top-level
+            # params -> the "head" optimizer group, excluded from weight
+            # decay (train/optim.py labels "logit_*" paths).
+            self.logit_scale = self.param(
+                "logit_scale",
+                lambda _: jnp.asarray(math.log(10.0), jnp.float32))
+            self.logit_bias = self.param(
+                "logit_bias", lambda _: jnp.asarray(-10.0, jnp.float32))
 
     # ------------------------------------------------------------------
     def encode_image(self, images: jax.Array, train: bool = False) -> jax.Array:
@@ -241,7 +252,16 @@ class CLIPModel(nn.Module):
             "text_embeddings": text_embeddings,
         }
         if compute_contrastive:
-            if loss_axis_name is not None:
+            if cfg.contrastive_loss == "siglip":
+                if loss_axis_name is not None:
+                    clip_loss = losses_lib.global_siglip_loss(
+                        image_embeddings, text_embeddings, self.logit_scale,
+                        self.logit_bias, valid, axis_name=loss_axis_name)
+                else:
+                    clip_loss = losses_lib.siglip_loss(
+                        image_embeddings, text_embeddings, self.logit_scale,
+                        self.logit_bias, valid)
+            elif loss_axis_name is not None:
                 clip_loss = losses_lib.global_clip_soft_ce_loss(
                     image_embeddings, text_embeddings, cfg.temperature, valid,
                     axis_name=loss_axis_name)

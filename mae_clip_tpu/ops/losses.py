@@ -294,6 +294,112 @@ def global_clip_soft_ce_loss_chunked(
     return global_sum / jnp.maximum(global_count, 1.0)
 
 
+def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def siglip_loss(
+    image_embeddings: jax.Array,
+    text_embeddings: jax.Array,
+    logit_scale: jax.Array,
+    logit_bias: jax.Array,
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Pairwise sigmoid contrastive loss (SigLIP, arXiv:2303.15343 eq. 1).
+
+    A beyond-reference alternative to the softmax objective
+    (``Config.contrastive_loss='siglip'``): every image/text pair is an
+    independent binary classification (positive on the diagonal), so there
+    is no batch-wide softmax normalizer — the loss decomposes over pairs,
+    which is what makes the ring-collective global version
+    (:func:`global_siglip_loss`) possible without any all-gather.
+
+    Unlike the reference objective, embeddings ARE L2-normalized here and
+    the temperature is a LEARNABLE log-space scalar plus a learnable bias
+    (paper init: t' = log 10, b = -10), owned by ``CLIPModel`` when the
+    config selects this loss.
+
+    Args:
+      image_embeddings: (B, D) projected image embeddings.
+      text_embeddings: (B, D) projected text embeddings.
+      logit_scale: scalar, log-space temperature t' (logits use exp(t')).
+      logit_bias: scalar bias b added to every logit.
+      valid: optional (B,) bool mask; False rows are padding and contribute
+        neither pairs nor denominator.
+
+    Returns:
+      Scalar: sum over valid pairs of -log sigmoid(m_ij * logits_ij)
+      divided by the number of valid rows (the paper's 1/|B|).
+    """
+    img = _l2_normalize(image_embeddings.astype(jnp.float32))
+    txt = _l2_normalize(text_embeddings.astype(jnp.float32))
+    b = img.shape[0]
+    logits = (jnp.exp(logit_scale)
+              * jnp.matmul(img, txt.T, preferred_element_type=jnp.float32)
+              + logit_bias)
+    labels = 2.0 * jnp.eye(b, dtype=jnp.float32) - 1.0
+    # -log sigmoid(m * z) == softplus(-m * z), numerically stable.
+    pair_loss = jax.nn.softplus(-labels * logits)
+    if valid is None:
+        return jnp.sum(pair_loss) / b
+    v = valid.astype(jnp.float32)
+    pair_loss = pair_loss * v[:, None] * v[None, :]
+    return jnp.sum(pair_loss) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def global_siglip_loss(
+    image_embeddings: jax.Array,
+    text_embeddings: jax.Array,
+    logit_scale: jax.Array,
+    logit_bias: jax.Array,
+    valid: Optional[jax.Array] = None,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Global-batch SigLIP via an ICI ring, for use inside ``shard_map``.
+
+    The paper's "chunked" recipe (arXiv:2303.15343 §3.3): because the
+    sigmoid loss decomposes over pairs, each device computes its local
+    B_local x B_local block, then the TEXT block (plus its valid mask)
+    rotates one neighbor hop around the ring ``axis_size - 1`` times
+    (``jax.lax.ppermute`` — XLA lowers neighbor permutes to ICI
+    send/recv). Peak memory stays O(B_local^2) for any global batch, and
+    no (GB, D) all-gather buffer ever exists. Positives appear only in
+    step 0 (a device's own text block holds its global diagonal).
+    Gradients flow through ``ppermute`` (its transpose is the reverse
+    permute), so the result — value and grads — equals
+    :func:`siglip_loss` on the concatenated global batch up to fp
+    reduction order.
+    """
+    img = _l2_normalize(image_embeddings.astype(jnp.float32))
+    txt = _l2_normalize(text_embeddings.astype(jnp.float32))
+    b_local = img.shape[0]
+    if valid is None:
+        valid = jnp.ones((b_local,), dtype=bool)
+    v = valid.astype(jnp.float32)
+
+    axis_size = jax.lax.psum(1, axis_name)  # static Python int
+    perm = [(d, (d + 1) % axis_size) for d in range(axis_size)]
+    scale = jnp.exp(logit_scale)
+    diag_labels = 2.0 * jnp.eye(b_local, dtype=jnp.float32) - 1.0
+
+    txt_blk, v_blk = txt, v
+    total = jnp.zeros((), jnp.float32)
+    for step in range(axis_size):
+        logits = (scale * jnp.matmul(img, txt_blk.T,
+                                     preferred_element_type=jnp.float32)
+                  + logit_bias)
+        labels = diag_labels if step == 0 else -1.0
+        pair_loss = jax.nn.softplus(-labels * logits)
+        total = total + jnp.sum(pair_loss * v[:, None] * v_blk[None, :])
+        if step < axis_size - 1:
+            txt_blk = jax.lax.ppermute(txt_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+
+    global_sum = jax.lax.psum(total, axis_name)
+    global_rows = jax.lax.psum(jnp.sum(v), axis_name)
+    return global_sum / jnp.maximum(global_rows, 1.0)
+
+
 def mae_reconstruction_loss(
     pred_patches: jax.Array,
     target_patches: jax.Array,

@@ -41,13 +41,37 @@ from mae_clip_tpu.train.state import TrainState
 
 
 def _clip_loss_fn(cfg: Config, mesh: Optional[Mesh]) -> Callable:
-    """Local or explicit-collective global contrastive loss."""
+    """Local or explicit-collective global contrastive loss.
+
+    Returns ``fn(img, txt, valid, extras)``; ``extras`` carries the
+    learnable loss params (SigLIP's ``logit_scale``/``logit_bias``) pulled
+    from the model param tree, and is ignored by the softmax objective.
+    """
     data_axis = cfg.mesh.axis_names[0]
     use_global = (cfg.global_contrastive and mesh is not None
                   and mesh.shape[data_axis] > 1)
+
+    if cfg.contrastive_loss == "siglip":
+        if not use_global:
+            return lambda img, txt, valid, extras: losses_lib.siglip_loss(
+                img, txt, extras["logit_scale"], extras["logit_bias"], valid)
+
+        spec = P(data_axis)
+
+        def global_siglip(img, txt, valid, extras):
+            return shard_map(
+                lambda i, t, v, s, b: losses_lib.global_siglip_loss(
+                    i, t, s, b, valid=v, axis_name=data_axis),
+                mesh=mesh,
+                in_specs=(spec, spec, spec, P(), P()),
+                out_specs=P(),
+            )(img, txt, valid, extras["logit_scale"], extras["logit_bias"])
+
+        return global_siglip
+
     if not use_global:
-        return lambda img, txt, valid: losses_lib.clip_soft_ce_loss(
-            img, txt, cfg.temperature, valid)
+        return lambda img, txt, valid, extras=None: \
+            losses_lib.clip_soft_ce_loss(img, txt, cfg.temperature, valid)
 
     spec = P(data_axis)
     if cfg.loss_chunk_size > 0:
@@ -60,7 +84,7 @@ def _clip_loss_fn(cfg: Config, mesh: Optional[Mesh]) -> Callable:
                                temperature=cfg.temperature,
                                axis_name=data_axis)
 
-    def global_loss(img, txt, valid):
+    def global_loss(img, txt, valid, extras=None):
         return shard_map(
             lambda i, t, v: fn(i, t, valid=v),
             mesh=mesh,
@@ -69,6 +93,14 @@ def _clip_loss_fn(cfg: Config, mesh: Optional[Mesh]) -> Callable:
         )(img, txt, valid)
 
     return global_loss
+
+
+_LOSS_PARAM_KEYS = ("logit_scale", "logit_bias")
+
+
+def _loss_extras(params) -> Dict[str, jax.Array]:
+    """Learnable loss params (top-level leaves) for :func:`_clip_loss_fn`."""
+    return {k: params[k] for k in _LOSS_PARAM_KEYS if k in params}
 
 
 def _forward(model, variables, batch, train, rng, cfg: Config,
@@ -131,7 +163,8 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
             variables["batch_stats"] = state.batch_stats
         out, new_stats = _forward(model, variables, batch, True, rng, cfg)
         clip_loss = clip_loss_fn(out["image_embeddings"],
-                                 out["text_embeddings"], valid)
+                                 out["text_embeddings"], valid,
+                                 _loss_extras(params))
         loss = clip_loss
         metrics = {"clip_loss": clip_loss}
         if "mae_loss" in out:
@@ -216,11 +249,14 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         img_all = imgs.reshape(batch_size, emb_dim)
         txt_all = txts.reshape(batch_size, emb_dim)
 
-        # Full-batch contrastive loss + its embedding cotangents.
+        # Full-batch contrastive loss + its embedding cotangents (and the
+        # learnable loss-param grads — SigLIP's scale/bias live only in the
+        # loss, so their grads come entirely from this pass).
         valid_all = batch.get("valid")
-        clip_loss, (d_img, d_txt) = jax.value_and_grad(
-            lambda i, t: clip_loss_fn(i, t, valid_all),
-            argnums=(0, 1))(img_all, txt_all)
+        extras = _loss_extras(state.params)
+        clip_loss, (d_img, d_txt, d_extras) = jax.value_and_grad(
+            lambda i, t, e: clip_loss_fn(i, t, valid_all, e),
+            argnums=(0, 1, 2))(img_all, txt_all, extras)
 
         # Pass 2: re-run each microbatch injecting the cached cotangents.
         d_img_m = d_img.reshape(imgs.shape).astype(imgs.dtype)
@@ -239,6 +275,12 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         grads, _ = jax.lax.scan(
             scan_grads, zeros_g,
             (micro, micro_masking, d_img_m, d_txt_m, idx))
+        if d_extras:
+            # Pass 2's vjp never sees the loss-only params (they don't
+            # affect the embeddings), so inject their grads directly.
+            grads = dict(grads)
+            for k, g in d_extras.items():
+                grads[k] = grads[k] + g
 
         metrics = {"clip_loss": clip_loss, "loss": clip_loss}
         if cfg.mae.enabled:
@@ -495,7 +537,9 @@ def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
         out, _ = _forward(model, _eval_variables(state, cfg), batch,
                           False, rng, cfg)
         clip_loss = clip_loss_fn(out["image_embeddings"],
-                                 out["text_embeddings"], batch.get("valid"))
+                                 out["text_embeddings"], batch.get("valid"),
+                                 _loss_extras(_eval_variables(state,
+                                                              cfg)["params"]))
         metrics = {"clip_loss": clip_loss, "loss": clip_loss}
         if "mae_loss" in out:
             metrics["mae_loss"] = out["mae_loss"]

@@ -126,13 +126,21 @@ def _adamw(lr, wd: float) -> optax.GradientTransformation:
 
 
 def param_groups(cfg: Config, params: Any) -> Any:
-    """Label tree: each param leaf -> "head" | "image" | "text" | "frozen"."""
+    """Label tree: each leaf -> "head" | "image" | "text" | "logit" | "frozen".
+
+    "logit" = learnable loss scalars (SigLIP's ``logit_scale``/
+    ``logit_bias``): head LR, but NO weight decay — decaying a log-
+    temperature or a bias initialized at -10 toward 0 would fight the
+    objective (standard practice for CLIP-family temperature params).
+    """
 
     def group_of(path: str) -> str:
         if path.startswith("text_encoder"):
             return "frozen" if not cfg.text_trainable else "text"
         if path.startswith("image_encoder"):
             return "frozen" if not cfg.trainable else "image"
+        if path.startswith("logit_"):
+            return "logit"
         return "head"
 
     return _label_tree(params, group_of)
@@ -158,6 +166,7 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
             "head": _adamw(sched(cfg.lr), cfg.weight_decay),
             "image": _adamw(sched(cfg.lr), cfg.weight_decay),
             "text": _adamw(sched(cfg.lr), cfg.weight_decay),
+            "logit": _adamw(sched(cfg.lr), 0.0),
             "frozen": optax.set_to_zero(),
         }
     elif cfg.recipe == "notebook":
@@ -165,6 +174,7 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
             "head": _adamw(sched(cfg.head_lr), cfg.weight_decay),
             "image": _adamw(sched(cfg.image_encoder_lr), 0.0),
             "text": _adamw(sched(cfg.text_encoder_lr), 0.0),
+            "logit": _adamw(sched(cfg.head_lr), 0.0),
             "frozen": optax.set_to_zero(),
         }
     else:

@@ -128,3 +128,74 @@ def test_mae_loss_norm_pix():
     t_norm = (t - mean) / (var + 1e-6) ** 0.5
     expected = ((torch.tensor(pred) - t_norm) ** 2).mean(-1).mean().item()
     assert np.allclose(got, expected, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# SigLIP (arXiv:2303.15343) — beyond-reference sigmoid objective
+# ---------------------------------------------------------------------------
+
+from mae_clip_tpu.ops.losses import siglip_loss  # noqa: E402
+
+
+def torch_siglip_loss(img, txt, logit_scale, logit_bias):
+    """Independent torch oracle of SigLIP eq. 1."""
+    zi = F.normalize(torch.tensor(img, dtype=torch.float32), dim=-1)
+    zt = F.normalize(torch.tensor(txt, dtype=torch.float32), dim=-1)
+    logits = torch.exp(torch.tensor(logit_scale)) * zi @ zt.T + logit_bias
+    labels = 2.0 * torch.eye(zi.shape[0]) - 1.0
+    return -F.logsigmoid(labels * logits).sum() / zi.shape[0]
+
+
+@pytest.mark.parametrize("scale,bias", [(np.log(10.0), -10.0), (0.5, 0.0)])
+def test_siglip_matches_torch_oracle(scale, bias):
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(8, 16)).astype(np.float32)
+    txt = rng.normal(size=(8, 16)).astype(np.float32)
+    expected = float(torch_siglip_loss(img, txt, scale, bias))
+    got = float(siglip_loss(jnp.array(img), jnp.array(txt),
+                            jnp.asarray(scale, jnp.float32),
+                            jnp.asarray(bias, jnp.float32)))
+    assert np.allclose(got, expected, atol=1e-5), (got, expected)
+
+
+def test_siglip_valid_masking():
+    """Padded rows contribute nothing: loss(padded batch) == loss(true batch)."""
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(5, 8)).astype(np.float32)
+    txt = rng.normal(size=(5, 8)).astype(np.float32)
+    scale = jnp.asarray(np.log(10.0), jnp.float32)
+    bias = jnp.asarray(-10.0, jnp.float32)
+
+    unpadded = float(siglip_loss(jnp.array(img), jnp.array(txt), scale, bias))
+
+    pad = np.zeros((3, 8), np.float32)
+    img_p = jnp.array(np.concatenate([img, pad]))
+    txt_p = jnp.array(np.concatenate([txt, pad + 7.0]))
+    valid = jnp.array([True] * 5 + [False] * 3)
+    padded = float(siglip_loss(img_p, txt_p, scale, bias, valid))
+    assert np.allclose(padded, unpadded, atol=1e-6), (padded, unpadded)
+
+
+def test_siglip_grads_match_torch():
+    """Grads w.r.t. embeddings AND the learnable scale/bias match autograd."""
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(6, 8)).astype(np.float32)
+    txt = rng.normal(size=(6, 8)).astype(np.float32)
+    scale0, bias0 = 0.7, -2.0
+
+    ti = torch.tensor(img, requires_grad=True)
+    tt = torch.tensor(txt, requires_grad=True)
+    ts = torch.tensor(scale0, requires_grad=True)
+    tb = torch.tensor(bias0, requires_grad=True)
+    zi, zt = F.normalize(ti, dim=-1), F.normalize(tt, dim=-1)
+    logits = torch.exp(ts) * zi @ zt.T + tb
+    labels = 2.0 * torch.eye(6) - 1.0
+    (-F.logsigmoid(labels * logits).sum() / 6).backward()
+
+    grads = jax.grad(
+        lambda i, t, s, b: siglip_loss(i, t, s, b),
+        argnums=(0, 1, 2, 3))(jnp.array(img), jnp.array(txt),
+                              jnp.asarray(scale0, jnp.float32),
+                              jnp.asarray(bias0, jnp.float32))
+    for got, exp in zip(grads, (ti.grad, tt.grad, ts.grad, tb.grad)):
+        np.testing.assert_allclose(np.asarray(got), exp.numpy(), atol=1e-5)

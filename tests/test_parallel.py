@@ -302,3 +302,45 @@ def test_zero1_state_checkpoint_roundtrip(tmp_path):
     # and the restored state steps again under the sharded executable
     restored, metrics = step(restored, tiny_batch(r))
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# Global SigLIP via the ppermute ring (no all-gather)
+# ---------------------------------------------------------------------------
+
+def _ring_siglip_fn(mesh):
+    from mae_clip_tpu.ops.losses import global_siglip_loss
+    spec = P("data")
+    return shard_map(
+        lambda i, t, v, s, b: global_siglip_loss(i, t, s, b, valid=v,
+                                                 axis_name="data"),
+        mesh=mesh, in_specs=(spec, spec, spec, P(), P()), out_specs=P())
+
+
+def test_global_siglip_ring_matches_local():
+    """Ring-rotated global SigLIP == local SigLIP on the concatenated batch
+    (value AND grads, including the learnable scale/bias), with a ragged
+    global tail masked."""
+    from mae_clip_tpu.ops.losses import siglip_loss
+
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(3)
+    img = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    txt = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    valid = np.ones((16,), dtype=bool)
+    valid[14:] = False
+    valid = jnp.array(valid)
+    scale = jnp.asarray(np.log(10.0), jnp.float32)
+    bias = jnp.asarray(-10.0, jnp.float32)
+
+    local_val, local_grads = jax.value_and_grad(
+        lambda i, t, s, b: siglip_loss(i, t, s, b, valid),
+        argnums=(0, 1, 2, 3))(img, txt, scale, bias)
+    with mesh:
+        ring_val, ring_grads = jax.value_and_grad(
+            lambda i, t, s, b: _ring_siglip_fn(mesh)(i, t, valid, s, b),
+            argnums=(0, 1, 2, 3))(img, txt, scale, bias)
+
+    np.testing.assert_allclose(float(ring_val), float(local_val), atol=1e-5)
+    for rg, lg in zip(ring_grads, local_grads):
+        np.testing.assert_allclose(np.asarray(rg), np.asarray(lg), atol=1e-5)

@@ -514,3 +514,88 @@ def test_trainer_ema_fit_and_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
                     jax.tree_util.tree_leaves(raw["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# SigLIP objective through the train step
+# ---------------------------------------------------------------------------
+
+def test_train_step_siglip_learns_scale_and_bias():
+    """contrastive_loss='siglip': loss decreases and the learnable
+    logit_scale/logit_bias params exist, receive grads, and move."""
+    cfg = tiny_cfg(contrastive_loss="siglip")
+    model, variables, batch = build(cfg)
+    assert "logit_scale" in variables["params"]
+    assert np.allclose(float(variables["params"]["logit_scale"]),
+                       np.log(10.0))
+    assert np.allclose(float(variables["params"]["logit_bias"]), -10.0)
+
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, cfg)
+    scale0 = float(state.params["logit_scale"])
+    bias0 = float(state.params["logit_bias"])
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert float(state.params["logit_scale"]) != scale0
+    assert float(state.params["logit_bias"]) != bias0
+
+
+def test_gradcache_siglip_matches_giant_batch():
+    """GradCache with SigLIP: the loss-only scale/bias grads are injected
+    after pass 2, so accumulated params still exactly match one giant-batch
+    step (including the scalars)."""
+    import optax
+
+    cfg = _gradcache_cfg().replace(contrastive_loss="siglip")
+    model, variables, batch = build(cfg)
+    tx = optax.sgd(1.0)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    state_g = TrainState.create(copy(variables["params"]), tx,
+                                jax.random.PRNGKey(2))
+    state_a = TrainState.create(copy(variables["params"]), tx,
+                                jax.random.PRNGKey(2))
+    step_g = make_train_step(model, tx, cfg)
+    step_a = make_train_step(model, tx, cfg, accum_steps=4)
+
+    state_g, mg = step_g(state_g, batch)
+    state_a, ma = step_a(state_a, batch)
+    for key in mg:
+        np.testing.assert_allclose(float(ma[key]), float(mg[key]),
+                                   rtol=2e-6, err_msg=key)
+    paths_a = {jax.tree_util.keystr(p): x for p, x in
+               jax.tree_util.tree_leaves_with_path(state_a.params)}
+    paths_g = {jax.tree_util.keystr(p): x for p, x in
+               jax.tree_util.tree_leaves_with_path(state_g.params)}
+    assert paths_a.keys() == paths_g.keys()
+    for k in paths_a:
+        # rtol absorbs fp reduction-order noise on the large post-SGD(lr=1)
+        # magnitudes (SigLIP's exp(scale)=10 logits make grads ~10x the
+        # softmax objective's).
+        np.testing.assert_allclose(np.asarray(paths_a[k]),
+                                   np.asarray(paths_g[k]), rtol=1e-5,
+                                   atol=1e-5, err_msg=k)
+
+
+def test_mesh_step_siglip_matches_single_device():
+    """The full sharded train step with contrastive_loss='siglip' (ring
+    ppermute global loss) produces the same loss as the local step."""
+    cfg = tiny_cfg(contrastive_loss="siglip", global_contrastive=True)
+    model, variables, batch = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    state1 = TrainState.create(copy(variables["params"]), tx,
+                               jax.random.PRNGKey(2))
+    state1, m1 = make_train_step(model, tx, cfg)(state1, batch)
+
+    mesh = create_mesh(8, 1)
+    state2 = TrainState.create(copy(variables["params"]), tx,
+                               jax.random.PRNGKey(2))
+    state2, m2 = make_train_step(model, tx, cfg, mesh=mesh)(state2, batch)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               atol=1e-5)
