@@ -534,12 +534,11 @@ def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
 
     def step_fn(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        out, _ = _forward(model, _eval_variables(state, cfg), batch,
-                          False, rng, cfg)
+        variables = _eval_variables(state, cfg)
+        out, _ = _forward(model, variables, batch, False, rng, cfg)
         clip_loss = clip_loss_fn(out["image_embeddings"],
                                  out["text_embeddings"], batch.get("valid"),
-                                 _loss_extras(_eval_variables(state,
-                                                              cfg)["params"]))
+                                 _loss_extras(variables["params"]))
         metrics = {"clip_loss": clip_loss, "loss": clip_loss}
         if "mae_loss" in out:
             metrics["mae_loss"] = out["mae_loss"]
