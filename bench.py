@@ -46,6 +46,9 @@ FUSED = os.environ.get("BENCH_FUSED", "")  # ""=preset | "auto"|"on"|"off"
 # headline measures that production step; BENCH_CACHED_TEXT=0 measures the
 # tower-inline step instead (38.6 ms vs 27.4 ms at b256 on v5e).
 CACHED_TEXT = os.environ.get("BENCH_CACHED_TEXT", "1") == "1"
+# Contrastive objective: "" = preset (softmax) | "siglip" (ring loss;
+# single-chip bench exercises its local form).
+LOSS = os.environ.get("BENCH_LOSS", "")
 
 
 def main() -> None:
@@ -78,6 +81,8 @@ def main() -> None:
                                          decoder_style=DECODER_STYLE))
     if FUSED:
         cfg = cfg.replace(fused_blocks=FUSED)
+    if LOSS:
+        cfg = cfg.replace(contrastive_loss=LOSS)
     text_cfg = DistilBertConfig()
     attn = ATTN or "auto"
     model = CLIPModel(cfg, text_config=text_cfg, attn_impl=attn)

@@ -405,6 +405,7 @@ def cmd_zeroshot(args) -> None:
 
     from mae_clip_tpu.data.images import decode_image, host_preprocess
     from mae_clip_tpu.eval.zeroshot import (build_zero_shot_classifier,
+                                            siglip_zero_shot_probs,
                                             zero_shot_probs)
     from mae_clip_tpu.train.checkpoint import load_variables
 
@@ -420,7 +421,16 @@ def cmd_zeroshot(args) -> None:
     feats = model.apply(variables, jnp.asarray(img),
                         method=model.encode_image)
     emb = model.apply(variables, feats, method=model.project_image)
-    probs = np.asarray(zero_shot_probs(emb, classifier))[0]
+    params = variables["params"]
+    if cfg.contrastive_loss == "siglip" and "logit_scale" in params:
+        # SigLIP checkpoints score with their trained scale/bias: calibrated
+        # per-label sigmoid probabilities (same ranking as the softmax
+        # protocol, reference CIFAR.ipynb cell 9, which remains the default).
+        probs = np.asarray(siglip_zero_shot_probs(
+            emb, classifier, params["logit_scale"],
+            params["logit_bias"]))[0]
+    else:
+        probs = np.asarray(zero_shot_probs(emb, classifier))[0]
     order = np.argsort(-probs)
     print(json.dumps({labels[i]: float(probs[i]) for i in order}))
 

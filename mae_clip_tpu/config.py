@@ -245,6 +245,18 @@ class Config:
     # (ppermute) instead of an all-gather, so memory stays O(local_B^2) at
     # any global batch.
     contrastive_loss: str = "softmax"
+    # Learnable temperature for the softmax objective (the CLIP paper's
+    # exp(logit_scale) parameterization, scale clamped at 100): the model
+    # owns a log-space `logit_scale` param initialized to log(1/temperature)
+    # so `temperature` becomes the INITIAL value instead of a constant.
+    # The reference's fixed T=1.0 stays the default (False). SigLIP's
+    # temperature is always learnable (its own scale/bias params).
+    # NOTE: the CLIP paper pairs T=0.07 with DETACHED hard targets and a
+    # 32k batch; this framework's softmax objective keeps the reference's
+    # no-detach soft targets (CLIP.py:35-39), which are unstable at sharp
+    # temperatures + small batches + lr >= ~5e-4 — prefer T init 1.0, or
+    # drop the LR, when training small from-scratch models.
+    learnable_temperature: bool = False
     mae: MAEConfig = dataclasses.field(default_factory=MAEConfig)
 
     # vocab file for the builtin WordPiece tokenizer (HF-format vocab.txt)
@@ -285,6 +297,12 @@ class Config:
         if self.contrastive_loss not in ("softmax", "siglip"):
             raise ValueError(
                 f"unknown contrastive_loss {self.contrastive_loss!r}")
+        if self.learnable_temperature and self.contrastive_loss == "siglip":
+            raise ValueError(
+                "learnable_temperature applies to the softmax objective; "
+                "siglip's temperature is always learnable")
+        if self.temperature <= 0:
+            raise ValueError("temperature must be > 0")
         if self.cache_text_features and (
                 self.text_trainable or not self.frozen_text_eval_mode):
             raise ValueError(

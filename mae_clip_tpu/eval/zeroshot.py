@@ -61,6 +61,25 @@ def zero_shot_probs(image_embeddings: jax.Array,
     return jax.nn.softmax(logits, axis=-1)
 
 
+def siglip_zero_shot_probs(image_embeddings: jax.Array,
+                           classifier: jax.Array,
+                           logit_scale: jax.Array,
+                           logit_bias: jax.Array) -> jax.Array:
+    """Per-class sigmoid probabilities for a SigLIP-trained model.
+
+    SigLIP's inference protocol (arXiv:2303.15343 §4.2): each class is an
+    independent binary prediction ``sigmoid(exp(s)·sim + b)`` using the
+    TRAINED scale/bias — calibrated probabilities that need no softmax
+    over the label set (and do not sum to 1). Rankings (and therefore
+    top-k accuracy) are identical to :func:`zero_shot_probs` since
+    sigmoid is monotone in the similarity.
+    """
+    img_n = l2_normalize(image_embeddings.astype(jnp.float32))
+    sim = jnp.matmul(img_n, classifier.T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return jax.nn.sigmoid(jnp.exp(logit_scale) * sim + logit_bias)
+
+
 def zero_shot_accuracy(model, variables, loader: Iterable[Dict],
                        classifier: jax.Array,
                        ks: Sequence[int] = (1, 5)) -> Dict[str, float]:

@@ -138,13 +138,21 @@ class CLIPModel(nn.Module):
         if cfg.contrastive_loss == "siglip":
             # SigLIP's learnable log-space temperature + bias
             # (arXiv:2303.15343 §4: init t' = log 10, b = -10). Top-level
-            # params -> the "head" optimizer group, excluded from weight
+            # params -> the "logit" optimizer group, excluded from weight
             # decay (train/optim.py labels "logit_*" paths).
             self.logit_scale = self.param(
                 "logit_scale",
                 lambda _: jnp.asarray(math.log(10.0), jnp.float32))
             self.logit_bias = self.param(
                 "logit_bias", lambda _: jnp.asarray(-10.0, jnp.float32))
+        elif cfg.learnable_temperature:
+            # CLIP-paper learnable temperature: logits scale exp(s),
+            # s init = log(1/temperature) so cfg.temperature is the INITIAL
+            # T; the loss clamps exp(s) at 100 (arXiv:2103.00020 §2.5).
+            self.logit_scale = self.param(
+                "logit_scale",
+                lambda _: jnp.asarray(math.log(1.0 / cfg.temperature),
+                                      jnp.float32))
 
     # ------------------------------------------------------------------
     def encode_image(self, images: jax.Array, train: bool = False) -> jax.Array:
@@ -261,13 +269,18 @@ class CLIPModel(nn.Module):
                     clip_loss = losses_lib.siglip_loss(
                         image_embeddings, text_embeddings, self.logit_scale,
                         self.logit_bias, valid)
-            elif loss_axis_name is not None:
-                clip_loss = losses_lib.global_clip_soft_ce_loss(
-                    image_embeddings, text_embeddings, cfg.temperature, valid,
-                    axis_name=loss_axis_name)
             else:
-                clip_loss = losses_lib.clip_soft_ce_loss(
-                    image_embeddings, text_embeddings, cfg.temperature, valid)
+                temperature = (losses_lib.temperature_of(self.logit_scale)
+                               if cfg.learnable_temperature
+                               else cfg.temperature)
+                if loss_axis_name is not None:
+                    clip_loss = losses_lib.global_clip_soft_ce_loss(
+                        image_embeddings, text_embeddings, temperature,
+                        valid, axis_name=loss_axis_name)
+                else:
+                    clip_loss = losses_lib.clip_soft_ce_loss(
+                        image_embeddings, text_embeddings, temperature,
+                        valid)
             out["clip_loss"] = clip_loss
             out["loss"] = clip_loss
         if mae_out is not None:

@@ -294,6 +294,17 @@ def global_clip_soft_ce_loss_chunked(
     return global_sum / jnp.maximum(global_count, 1.0)
 
 
+def temperature_of(logit_scale: jax.Array) -> jax.Array:
+    """Temperature from a CLIP-style log-space scale param.
+
+    The CLIP paper (arXiv:2103.00020 §2.5) learns ``s`` with logits scaled
+    by ``exp(s)`` clamped at 100; the reference's formulation divides by a
+    temperature instead, so ``T = 1/clip(exp(s), 100)`` maps one onto the
+    other (``Config.learnable_temperature``).
+    """
+    return 1.0 / jnp.minimum(jnp.exp(logit_scale), 100.0)
+
+
 def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 

@@ -69,28 +69,32 @@ def _clip_loss_fn(cfg: Config, mesh: Optional[Mesh]) -> Callable:
 
         return global_siglip
 
+    def temp_of(extras) -> "jax.Array | float":
+        if cfg.learnable_temperature:
+            return losses_lib.temperature_of(extras["logit_scale"])
+        return cfg.temperature
+
     if not use_global:
         return lambda img, txt, valid, extras=None: \
-            losses_lib.clip_soft_ce_loss(img, txt, cfg.temperature, valid)
+            losses_lib.clip_soft_ce_loss(img, txt, temp_of(extras), valid)
 
     spec = P(data_axis)
     if cfg.loss_chunk_size > 0:
         fn = functools.partial(losses_lib.global_clip_soft_ce_loss_chunked,
-                               temperature=cfg.temperature,
                                axis_name=data_axis,
                                chunk_size=cfg.loss_chunk_size)
     else:
         fn = functools.partial(losses_lib.global_clip_soft_ce_loss,
-                               temperature=cfg.temperature,
                                axis_name=data_axis)
 
     def global_loss(img, txt, valid, extras=None):
+        tau = jnp.asarray(temp_of(extras), jnp.float32)
         return shard_map(
-            lambda i, t, v: fn(i, t, valid=v),
+            lambda i, t, v, u: fn(i, t, valid=v, temperature=u),
             mesh=mesh,
-            in_specs=(spec, spec, spec),
+            in_specs=(spec, spec, spec, P()),
             out_specs=P(),
-        )(img, txt, valid)
+        )(img, txt, valid, tau)
 
     return global_loss
 

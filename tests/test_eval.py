@@ -466,3 +466,27 @@ def test_int8_gallery_quantization_and_topk():
         np.testing.assert_array_equal(np.asarray(qi)[:, 0],
                                       np.asarray(exact)[:, 0])
         np.testing.assert_array_equal(np.asarray(qi)[:, 0], picks)
+
+
+def test_siglip_zero_shot_probs_formula_and_ranking():
+    """sigmoid(exp(s)·sim + b) per class, same ranking as the softmax
+    protocol (sigmoid is monotone in sim)."""
+    from mae_clip_tpu.eval.zeroshot import siglip_zero_shot_probs
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(3, 16)).astype(np.float32)
+    cls = rng.normal(size=(5, 16)).astype(np.float32)
+    cls_n = cls / np.linalg.norm(cls, axis=-1, keepdims=True)
+    s, b = 1.2, -4.0
+
+    got = np.asarray(siglip_zero_shot_probs(
+        jnp.array(emb), jnp.array(cls_n), jnp.asarray(s, jnp.float32),
+        jnp.asarray(b, jnp.float32)))
+    emb_n = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+    sim = emb_n @ cls_n.T
+    expected = 1.0 / (1.0 + np.exp(-(np.exp(s) * sim + b)))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+    # Per-row ranking identical to the softmax protocol.
+    soft = np.asarray(zero_shot_probs(jnp.array(emb), jnp.array(cls_n)))
+    np.testing.assert_array_equal(np.argsort(-got, axis=1),
+                                  np.argsort(-soft, axis=1))

@@ -199,3 +199,12 @@ def test_siglip_grads_match_torch():
                               jnp.asarray(bias0, jnp.float32))
     for got, exp in zip(grads, (ti.grad, tt.grad, ts.grad, tb.grad)):
         np.testing.assert_allclose(np.asarray(got), exp.numpy(), atol=1e-5)
+
+
+def test_temperature_of_clamps_at_100():
+    from mae_clip_tpu.ops.losses import temperature_of
+    assert np.allclose(float(temperature_of(jnp.asarray(0.0))), 1.0)
+    assert np.allclose(float(temperature_of(jnp.asarray(np.log(1 / 0.07)))),
+                       0.07, rtol=1e-5)
+    # CLIP's clamp: exp(s) never exceeds 100, so T floors at 0.01.
+    assert np.allclose(float(temperature_of(jnp.asarray(np.log(1e6)))), 0.01)

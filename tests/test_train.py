@@ -599,3 +599,31 @@ def test_mesh_step_siglip_matches_single_device():
     state2, m2 = make_train_step(model, tx, cfg, mesh=mesh)(state2, batch)
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
                                atol=1e-5)
+
+
+def test_learnable_temperature_init_parity_and_learns():
+    """learnable_temperature=True: at init the loss equals the fixed-T loss
+    (same objective, T = cfg.temperature), and the logit_scale param
+    receives gradients and moves."""
+    cfg_f = tiny_cfg(temperature=0.5)
+    cfg_l = tiny_cfg(temperature=0.5, learnable_temperature=True)
+    model_f, var_f, batch = build(cfg_f)
+    model_l, var_l, _ = build(cfg_l)
+    assert "logit_scale" in var_l["params"]
+    assert np.allclose(float(var_l["params"]["logit_scale"]), np.log(2.0))
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    tx_f = make_optimizer(cfg_f, var_f["params"])
+    tx_l = make_optimizer(cfg_l, var_l["params"])
+    state_f = TrainState.create(copy(var_f["params"]), tx_f,
+                                jax.random.PRNGKey(2))
+    state_l = TrainState.create(copy(var_l["params"]), tx_l,
+                                jax.random.PRNGKey(2))
+    _, mf = make_train_step(model_f, tx_f, cfg_f)(state_f, batch)
+    state_l2, ml = make_train_step(model_l, tx_l, cfg_l)(state_l, batch)
+    np.testing.assert_allclose(float(ml["loss"]), float(mf["loss"]),
+                               rtol=1e-6)
+    scale0 = np.log(2.0)
+    for _ in range(4):
+        state_l2, ml = make_train_step(model_l, tx_l, cfg_l)(state_l2, batch)
+    assert float(state_l2.params["logit_scale"]) != scale0
