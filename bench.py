@@ -171,7 +171,7 @@ def main() -> None:
     pairs_per_sec = BATCH / per_step
     tower = ("ResNet50" if cfg.model_name == "resnet50"
              else "ViT-S/16+MAE")
-    print(json.dumps({
+    report = {
         "metric": "train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
         "unit": (f"image-text pairs/sec/chip ({tower} + DistilBERT"
@@ -179,7 +179,23 @@ def main() -> None:
                  f", {cfg.compute_dtype}, batch {BATCH}, fwd+bwd+AdamW)"),
         "vs_baseline": round(
             pairs_per_sec / TORCH_CPU_REFERENCE_PAIRS_PER_SEC, 2),
-    }))
+    }
+    if os.environ.get("BENCH_MFU", "0") == "1":
+        # Model FLOP utilization from XLA's own cost model (opt-in: the
+        # lower+compile pass adds noticeable time on the remote tunnel).
+        # Peak: v5e ≈ 197 bf16 TFLOP/s (override for other parts).
+        try:
+            cost = step.lower(state, batch).compile().cost_analysis()
+            if isinstance(cost, list):  # older jax returns [dict]
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+            if flops > 0:
+                report["tflops_per_sec"] = round(flops / per_step / 1e12, 1)
+                report["mfu"] = round(flops / per_step / peak, 3)
+        except Exception:
+            pass  # cost analysis unsupported on this backend — skip keys
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
