@@ -83,6 +83,10 @@ def main() -> None:
         cfg = cfg.replace(fused_blocks=FUSED)
     if LOSS:
         cfg = cfg.replace(contrastive_loss=LOSS)
+    try:
+        cfg.validate()
+    except ValueError as e:   # e.g. a BENCH_LOSS typo silently A/B-ing
+        raise SystemExit(f"bad bench config: {e}")   # softmax vs itself
     text_cfg = DistilBertConfig()
     attn = ATTN or "auto"
     model = CLIPModel(cfg, text_config=text_cfg, attn_impl=attn)
@@ -176,14 +180,19 @@ def main() -> None:
         "value": round(pairs_per_sec, 2),
         "unit": (f"image-text pairs/sec/chip ({tower} + DistilBERT"
                  f"{' w/ frozen-text feature cache' if use_cached_text else ''}"
+                 f"{', siglip' if cfg.contrastive_loss == 'siglip' else ''}"
                  f", {cfg.compute_dtype}, batch {BATCH}, fwd+bwd+AdamW)"),
         "vs_baseline": round(
             pairs_per_sec / TORCH_CPU_REFERENCE_PAIRS_PER_SEC, 2),
     }
     if os.environ.get("BENCH_MFU", "0") == "1":
-        # Model FLOP utilization from XLA's own cost model (opt-in: the
+        # Hardware FLOP utilization from XLA's cost model (opt-in: the
         # lower+compile pass adds noticeable time on the remote tunnel).
-        # Peak: v5e ≈ 197 bf16 TFLOP/s (override for other parts).
+        # This counts EXECUTED flops of the optimized HLO — including
+        # rematerialization recompute (flagship sets remat=True), so it is
+        # HFU, an upper bound on conventionally-defined MFU (analytic
+        # model flops). Peak: v5e ≈ 197 bf16 TFLOP/s (override for other
+        # parts with BENCH_PEAK_TFLOPS).
         try:
             cost = step.lower(state, batch).compile().cost_analysis()
             if isinstance(cost, list):  # older jax returns [dict]
@@ -192,7 +201,7 @@ def main() -> None:
             peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
             if flops > 0:
                 report["tflops_per_sec"] = round(flops / per_step / 1e12, 1)
-                report["mfu"] = round(flops / per_step / peak, 3)
+                report["hfu"] = round(flops / per_step / peak, 3)
         except Exception:
             pass  # cost analysis unsupported on this backend — skip keys
     print(json.dumps(report))

@@ -305,8 +305,9 @@ def temperature_of(logit_scale: jax.Array) -> jax.Array:
     return 1.0 / jnp.minimum(jnp.exp(logit_scale), 100.0)
 
 
-def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+# Shared with the retrieval/zero-shot paths so the loss's normalization can
+# never drift from the scoring that consumes the same embeddings.
+from mae_clip_tpu.ops.retrieval import l2_normalize as _l2_normalize  # noqa: E402
 
 
 def siglip_loss(

@@ -320,6 +320,17 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         new_params = jax.tree_util.tree_map(
             lambda p, u, t: p + u.astype(p.dtype) if t else p,
             state.params, updates, trainable_mask(cfg, state.params))
+        if cfg.learnable_temperature and "logit_scale" in new_params:
+            # CLIP clamps the PARAMETER after each update (arXiv:2103.00020
+            # §2.5 — open_clip does torch.clamp_ post-step). The forward
+            # min() alone would zero d(loss)/d(logit_scale) once exp(s)
+            # crossed 100, freezing the temperature at 0.01 forever (the
+            # logit group has no weight decay to pull it back); keeping the
+            # param itself <= log(100) means the gradient always flows.
+            new_params = dict(new_params)
+            new_params["logit_scale"] = jnp.minimum(
+                new_params["logit_scale"], jnp.log(100.0).astype(
+                    new_params["logit_scale"].dtype))
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

@@ -627,3 +627,20 @@ def test_learnable_temperature_init_parity_and_learns():
     for _ in range(4):
         state_l2, ml = make_train_step(model_l, tx_l, cfg_l)(state_l2, batch)
     assert float(state_l2.params["logit_scale"]) != scale0
+
+
+def test_learnable_temperature_param_clamped_post_update():
+    """CLIP's clamp lives on the PARAM (post-update), not just the forward:
+    an overshoot past log(100) is pulled back so the gradient to
+    logit_scale can never be permanently zeroed by the forward min()."""
+    cfg = tiny_cfg(learnable_temperature=True)
+    model, variables, batch = build(cfg)
+    params = dict(variables["params"])
+    params["logit_scale"] = jnp.asarray(np.log(500.0), jnp.float32)
+    tx = make_optimizer(cfg, params)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, cfg)
+    for _ in range(2):
+        state, m = step(state, batch)
+        assert float(state.params["logit_scale"]) <= np.log(100.0) + 1e-6
+        assert np.isfinite(float(m["loss"]))
