@@ -240,7 +240,17 @@ class RetrievalService:
         cls = l2_normalize(per.reshape(len(labels), len(templates),
                                        -1).mean(axis=1))
         img = l2_normalize(jnp.asarray(self.embed_images(image[None])))
-        probs = jax.nn.softmax(scale * (img @ cls.T), axis=-1)
+        params = self.variables.get("params", {})
+        if "logit_scale" in params and "logit_bias" in params:
+            # SigLIP checkpoint (both scalars present only for that
+            # objective): calibrated per-label sigmoid probabilities with
+            # the TRAINED scale/bias (arXiv:2303.15343 §4.2) — same
+            # ranking as the softmax protocol, but probs don't sum to 1.
+            probs = jax.nn.sigmoid(
+                jnp.exp(params["logit_scale"]) * (img @ cls.T)
+                + params["logit_bias"])
+        else:
+            probs = jax.nn.softmax(scale * (img @ cls.T), axis=-1)
         return {l: float(p) for l, p in zip(labels, np.asarray(probs)[0])}
 
 

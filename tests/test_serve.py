@@ -230,3 +230,35 @@ def test_quantized_gallery_matches_f32_retrieval(service):
         b = svc_q.retrieve(query, n=3)
         assert a["indices"] == b["indices"]
         np.testing.assert_allclose(a["scores"], b["scores"], atol=2e-2)
+
+
+def test_service_zeroshot_siglip_scoring():
+    """A siglip checkpoint (logit_scale+bias params) scores labels with
+    its trained sigmoid, same ranking as the softmax protocol."""
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=16,
+                 compute_dtype="float32", max_length=16,
+                 contrastive_loss="siglip")
+    tok = WordPieceTokenizer(build_vocab(
+        ["a red square", "a blue circle"], vocab_size=64, min_frequency=1))
+    model = CLIPModel(
+        cfg,
+        text_config=DistilBertConfig(vocab_size=tok.vocab_size, dim=16,
+                                     n_layers=1, n_heads=2, hidden_dim=32,
+                                     max_position_embeddings=32),
+        vit_config=ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                             n_heads=2))
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.array(rng.normal(size=(2, 16, 16, 3)).astype(np.float32)),
+             "input_ids": jnp.array(rng.integers(0, tok.vocab_size, (2, 8)).astype(np.int32)),
+             "attention_mask": jnp.ones((2, 8), dtype=jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    assert "logit_bias" in variables["params"]
+
+    svc = RetrievalService(model, variables, tok, max_length=16)
+    img = rng.normal(size=(16, 16, 3)).astype(np.float32)
+    probs = svc.zeroshot(["red", "blue"], img)
+    # Sigmoid probabilities: each in (0,1) but NOT summing to 1 (with the
+    # init bias -10 they are all near sigmoid(-10+10*sim) << 1).
+    assert set(probs) == {"red", "blue"}
+    assert all(0.0 < p < 1.0 for p in probs.values())
+    assert abs(sum(probs.values()) - 1.0) > 1e-3
