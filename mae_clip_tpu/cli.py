@@ -745,7 +745,10 @@ def cmd_export_pth(args) -> None:
         patch = int(round((rows // 3) ** 0.5))
         sd = export_mae_encoder_to_timm(params, grid_size=cfg.size // patch)
     else:
-        sd = export_clip_state_dict(variables, model_name=cfg.model_name)
+        patch = 16 if cfg.model_name.startswith("vit") else 0
+        sd = export_clip_state_dict(variables, model_name=cfg.model_name,
+                                    grid_size=(cfg.size // patch
+                                               if patch else 0))
     save_pth(sd, args.out)
     print(json.dumps({"out": args.out, "tensors": len(sd)}))
 

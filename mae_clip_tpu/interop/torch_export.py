@@ -164,19 +164,36 @@ def export_mae_encoder_to_timm(mae_params, grid_size: int,
     return export_timm_vit(encoder, prefix=prefix, sincos_grid=grid_size)
 
 
-def export_clip_state_dict(variables: Mapping, model_name: str = "resnet50"
-                           ) -> Dict[str, np.ndarray]:
-    """Flax variables -> reference-layout state_dict (numpy arrays)."""
+def export_clip_state_dict(variables: Mapping, model_name: str = "resnet50",
+                           grid_size: int = 0) -> Dict[str, np.ndarray]:
+    """Flax variables -> reference-layout state_dict (numpy arrays).
+
+    ``resnet50`` is the layout the reference actually shipped
+    (inference.py:18); ViT towers export under the same
+    ``image_encoder.model.`` prefix with timm VisionTransformer names —
+    the layout the reference's commented-out ViT variant (modules.py:20-26)
+    would have produced. For sincos-position encoders (the MAE tower) pass
+    ``grid_size`` to materialize ``pos_embed``; a MAE-capable tower drops
+    its decoder (pretraining-only scaffolding, as the MAE paper does for
+    transfer).
+    """
     params = variables["params"]
     sd: Dict[str, np.ndarray] = {}
     if model_name == "resnet50":
         sd.update(export_resnet50(params["image_encoder"],
                                   variables["batch_stats"]["image_encoder"],
                                   "image_encoder.model."))
+    elif model_name.startswith("vit"):
+        tower = params["image_encoder"]
+        encoder_keys = ("cls_token", "norm", "patch_embed", "pos_embed")
+        if any(k not in encoder_keys and not k.startswith("block_")
+               for k in tower):
+            tower = {k: v for k, v in tower.items()
+                     if k in encoder_keys or k.startswith("block_")}
+        sd.update(export_timm_vit(tower, "image_encoder.model.",
+                                  sincos_grid=grid_size))
     else:
-        raise NotImplementedError(
-            f"export for image tower {model_name!r}; the reference composite "
-            "only ever shipped resnet50 checkpoints")
+        raise NotImplementedError(f"export for image tower {model_name!r}")
     sd.update(export_distilbert(params["text_encoder"]["model"],
                                 "text_encoder.model."))
     sd.update(export_projection_head(params["image_projection"],

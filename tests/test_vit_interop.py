@@ -141,3 +141,56 @@ def test_export_mae_encoder_to_timm():
                       method=model.encode_full)
     np.testing.assert_allclose(np.asarray(got), expected, atol=2e-5,
                                rtol=1e-4)
+
+
+def test_export_clip_composite_with_vit_tower():
+    """Composite .pth export for ViT towers (the reference's commented-out
+    variant, modules.py:20-26): reference prefixes + timm names, exact
+    import_clip_state_dict roundtrip, and a MAE tower drops its decoder."""
+    import jax
+    from mae_clip_tpu.config import Config, MAEConfig
+    from mae_clip_tpu.interop.torch_export import export_clip_state_dict
+    from mae_clip_tpu.interop.torch_import import import_clip_state_dict
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+
+    text_cfg = DistilBertConfig(vocab_size=64, dim=16, n_layers=1, n_heads=2,
+                                hidden_dim=32, max_position_embeddings=32)
+    vit_cfg = ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                        n_heads=2, pos_embed="learned")
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.array(rng.normal(size=(2, 16, 16, 3)).astype(np.float32)),
+             "input_ids": jnp.array(rng.integers(0, 64, (2, 8)).astype(np.int32)),
+             "attention_mask": jnp.ones((2, 8), dtype=jnp.int32)}
+
+    cfg = Config(model_name="vit_s16", image_embedding=16, projection_dim=8,
+                 size=16, compute_dtype="float32", max_length=8)
+    model = CLIPModel(cfg, text_config=text_cfg, vit_config=vit_cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    sd = export_clip_state_dict(variables, model_name="vit_s16")
+    assert any(k.startswith("image_encoder.model.blocks.0.") for k in sd)
+    assert "image_encoder.model.pos_embed" in sd
+
+    back = import_clip_state_dict(sd, model_name="vit_s16")
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = {jax.tree_util.keystr(p): v for p, v in
+              jax.tree_util.tree_leaves_with_path(back["params"])}
+    for p, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(flat_b[jax.tree_util.keystr(p)]),
+                                      err_msg=jax.tree_util.keystr(p))
+
+    # MAE-capable tower: decoder params are dropped, encoder exports with
+    # materialized sincos positions.
+    cfg_m = cfg.replace(mae=MAEConfig(enabled=True, mask_ratio=0.5,
+                                      decoder_dim=16, decoder_depth=1,
+                                      decoder_heads=2))
+    vit_sincos = ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                           n_heads=2, pos_embed="sincos")
+    model_m = CLIPModel(cfg_m, text_config=text_cfg, vit_config=vit_sincos)
+    var_m = model_m.init(jax.random.PRNGKey(0), batch,
+                         mask_rng=jax.random.PRNGKey(1))
+    sd_m = export_clip_state_dict(var_m, model_name="vit_s16", grid_size=2)
+    assert "image_encoder.model.pos_embed" in sd_m
+    assert not any("decoder" in k or "mask_token" in k for k in sd_m)
+    assert any(k.startswith("image_encoder.model.blocks.0.") for k in sd_m)
