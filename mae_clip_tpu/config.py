@@ -238,12 +238,22 @@ class Config:
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     global_contrastive: bool = True  # all-gather embeddings for global-batch loss
     loss_chunk_size: int = 0         # 0 = unchunked; >0 = blockwise global loss
+    # Inner optimizer for every trainable param group: "adamw" (the
+    # reference's, main.py:101-103), "lamb" (layerwise trust-ratio AdamW,
+    # arXiv:1904.00962 — the standard large-batch choice for the 32k
+    # recipe), or "lion" (sign-momentum, arXiv:2302.06675 — one moment
+    # instead of two, halving optimizer HBM; use ~10x smaller LR).
+    optimizer: str = "adamw"
     # Contrastive objective: "softmax" = the reference's soft-target
-    # symmetric InfoNCE (CLIP.py:34-43, uses `temperature`). "siglip" =
-    # pairwise sigmoid loss (arXiv:2303.15343) with learnable log-scale +
-    # bias params owned by the model; its global version rides an ICI ring
-    # (ppermute) instead of an all-gather, so memory stays O(local_B^2) at
-    # any global batch.
+    # symmetric InfoNCE (CLIP.py:34-43, uses `temperature`). "clip" = the
+    # standard CLIP-paper objective (arXiv:2103.00020 fig. 3): L2-normalized
+    # embeddings, hard identity targets, symmetric CE — pair it with
+    # learnable_temperature=True + temperature=0.07 for the paper recipe
+    # (its chunked global form needs only one streaming pass, so it honors
+    # loss_chunk_size too). "siglip" = pairwise sigmoid loss
+    # (arXiv:2303.15343) with learnable log-scale + bias params owned by
+    # the model; its global version rides an ICI ring (ppermute) instead of
+    # an all-gather, so memory stays O(local_B^2) at any global batch.
     contrastive_loss: str = "softmax"
     # Learnable temperature for the softmax objective (the CLIP paper's
     # exp(logit_scale) parameterization, scale clamped at 100): the model
@@ -294,7 +304,9 @@ class Config:
                 f"unknown decoder_style {self.mae.decoder_style!r}")
         if self.lr_schedule not in ("constant", "cosine"):
             raise ValueError(f"unknown lr_schedule {self.lr_schedule!r}")
-        if self.contrastive_loss not in ("softmax", "siglip"):
+        if self.optimizer not in ("adamw", "lamb", "lion"):
+            raise ValueError(f"unknown optimizer {self.optimizer!r}")
+        if self.contrastive_loss not in ("softmax", "clip", "siglip"):
             raise ValueError(
                 f"unknown contrastive_loss {self.contrastive_loss!r}")
         if self.learnable_temperature and self.contrastive_loss == "siglip":

@@ -273,12 +273,17 @@ class CLIPModel(nn.Module):
                 temperature = (losses_lib.temperature_of(self.logit_scale)
                                if cfg.learnable_temperature
                                else cfg.temperature)
+                hard = cfg.contrastive_loss == "clip"
                 if loss_axis_name is not None:
-                    clip_loss = losses_lib.global_clip_soft_ce_loss(
+                    global_fn = (losses_lib.global_clip_hard_ce_loss if hard
+                                 else losses_lib.global_clip_soft_ce_loss)
+                    clip_loss = global_fn(
                         image_embeddings, text_embeddings, temperature,
                         valid, axis_name=loss_axis_name)
                 else:
-                    clip_loss = losses_lib.clip_soft_ce_loss(
+                    local_fn = (losses_lib.clip_hard_ce_loss if hard
+                                else losses_lib.clip_soft_ce_loss)
+                    clip_loss = local_fn(
                         image_embeddings, text_embeddings, temperature,
                         valid)
             out["clip_loss"] = clip_loss

@@ -412,6 +412,148 @@ def global_siglip_loss(
     return global_sum / jnp.maximum(global_rows, 1.0)
 
 
+def clip_hard_ce_loss(
+    image_embeddings: jax.Array,
+    text_embeddings: jax.Array,
+    temperature: float = 1.0,
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Standard CLIP objective (arXiv:2103.00020 fig. 3 pseudocode).
+
+    A beyond-reference alternative (``Config.contrastive_loss='clip'``) to
+    the reference's soft-target loss: embeddings ARE L2-normalized, targets
+    are the identity (hard labels), and the loss is the symmetric mean of
+    the two cross-entropies. Pairs with ``Config.learnable_temperature``
+    (the paper learns ``T`` via ``exp(s)`` clamped at 100) but also accepts
+    a fixed temperature.
+
+    Args:
+      image_embeddings: (B, D) projected image embeddings (normalized here).
+      text_embeddings: (B, D) projected text embeddings (normalized here).
+      temperature: logits are ``sim / T`` (scalar; may be traced/learnable).
+      valid: optional (B,) bool mask; False rows are padding and contribute
+        neither rows nor softmax columns.
+
+    Returns:
+      Scalar mean loss over valid rows.
+    """
+    img = _l2_normalize(image_embeddings.astype(jnp.float32))
+    txt = _l2_normalize(text_embeddings.astype(jnp.float32))
+    logits = jnp.matmul(txt, img.T,
+                        preferred_element_type=jnp.float32) / temperature
+    # Rows: texts over image columns; transpose: images over text columns.
+    logp_txt = _masked_log_softmax(logits, valid)
+    logp_img = _masked_log_softmax(logits.T, valid)
+    per_row = -(jnp.diagonal(logp_txt) + jnp.diagonal(logp_img)) / 2.0
+    if valid is None:
+        return jnp.mean(per_row)
+    per_row = jnp.where(valid, per_row, 0.0)
+    return jnp.sum(per_row) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def global_clip_hard_ce_loss(
+    image_embeddings: jax.Array,
+    text_embeddings: jax.Array,
+    temperature: float = 1.0,
+    valid: Optional[jax.Array] = None,
+    axis_name: str = "data",
+    chunk_size: int = 0,
+) -> jax.Array:
+    """Global-batch :func:`clip_hard_ce_loss` for use inside ``shard_map``.
+
+    Both embedding sets are all-gathered over ``axis_name`` so the softmax
+    normalizers span the global batch; each shard materializes only its
+    local rows (B_local x global_B) of either logits orientation. A row's
+    positive is its own global column ``axis_index * B_local + row``.
+
+    With ``chunk_size > 0`` the gathered columns are streamed in blocks
+    with an online logsumexp (flash-style), so peak memory is
+    O(B_local x chunk_size) regardless of global batch — hard labels need
+    only one pass (the positive logit is picked up in the block that
+    covers it), unlike the two-pass soft-target version
+    (:func:`global_clip_soft_ce_loss_chunked`). Gradients flow through the
+    gathers and the scan. Equals :func:`clip_hard_ce_loss` on the
+    concatenated global batch up to fp reduction order.
+    """
+    img = _l2_normalize(image_embeddings.astype(jnp.float32))
+    txt = _l2_normalize(text_embeddings.astype(jnp.float32))
+    b_local = img.shape[0]
+    if valid is None:
+        valid = jnp.ones((b_local,), dtype=bool)
+    t = temperature
+    own = jax.lax.axis_index(axis_name) * b_local + jnp.arange(b_local)
+
+    g_img = jax.lax.all_gather(img, axis_name, tiled=True)      # (GB, D)
+    g_txt = jax.lax.all_gather(txt, axis_name, tiled=True)
+    g_valid = jax.lax.all_gather(valid, axis_name, tiled=True)
+
+    if chunk_size <= 0:
+        logits_txt = jnp.matmul(txt, g_img.T,
+                                preferred_element_type=jnp.float32) / t
+        logits_img = jnp.matmul(img, g_txt.T,
+                                preferred_element_type=jnp.float32) / t
+        m_txt = jnp.where(g_valid[None, :], logits_txt, _NEG_INF)
+        m_img = jnp.where(g_valid[None, :], logits_img, _NEG_INF)
+        z_txt = jax.nn.logsumexp(m_txt, axis=1)
+        z_img = jax.nn.logsumexp(m_img, axis=1)
+        own_col = own[:, None]
+        own_txt = jnp.take_along_axis(logits_txt, own_col, axis=1)[:, 0]
+        own_img = jnp.take_along_axis(logits_img, own_col, axis=1)[:, 0]
+    else:
+        gb = g_img.shape[0]
+        num_chunks = -(-gb // chunk_size)
+        pad = num_chunks * chunk_size - gb
+
+        def chunks_of(x, fill=0.0):
+            xp = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                         constant_values=fill)
+            return xp.reshape((num_chunks, chunk_size) + x.shape[1:])
+
+        def _varying(x):
+            return jax.lax.pcast(x, axis_name, to="varying")
+
+        col_ids = jnp.arange(num_chunks * chunk_size).reshape(
+            (num_chunks, chunk_size))
+
+        def pass_fn(carry, chunk):
+            (mt, st, ot), (mi, si, oi) = carry
+            ci, ct, cv, cols = chunk
+            out = []
+            for (m, s, o), rows, cols_emb in (
+                    ((mt, st, ot), txt, ci), ((mi, si, oi), img, ct)):
+                x = jnp.matmul(rows, cols_emb.T,
+                               preferred_element_type=jnp.float32) / t
+                xm = jnp.where(cv[None, :] > 0, x, _NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(xm, axis=1))
+                s_new = (s * jnp.exp(m - m_new)
+                         + jnp.sum(jnp.exp(xm - m_new[:, None]), axis=1))
+                # Positive logit: the one block whose columns cover `own`
+                # contributes it (pad columns have ids >= GB, never hit).
+                hit = cols[None, :] == own[:, None]
+                o_new = o + jnp.sum(jnp.where(hit, x, 0.0), axis=1)
+                out.append((m_new, s_new, o_new))
+            return tuple(out), None
+
+        init_one = (
+            _varying(jnp.full((b_local,), -jnp.inf)),
+            _varying(jnp.zeros((b_local,))),
+            _varying(jnp.zeros((b_local,))),
+        )
+        ((mt, st, own_txt), (mi, si, own_img)), _ = jax.lax.scan(
+            pass_fn, (init_one, init_one),
+            (chunks_of(g_img), chunks_of(g_txt),
+             chunks_of(g_valid.astype(jnp.float32)), col_ids))
+        z_txt = mt + jnp.log(st)
+        z_img = mi + jnp.log(si)
+
+    per_row = ((z_txt - own_txt) + (z_img - own_img)) / 2.0
+    per_row = jnp.where(valid, per_row, 0.0)
+    global_sum = jax.lax.psum(jnp.sum(per_row), axis_name)
+    global_count = jax.lax.psum(jnp.sum(valid.astype(jnp.float32)),
+                                axis_name)
+    return global_sum / jnp.maximum(global_count, 1.0)
+
+
 def mae_reconstruction_loss(
     pred_patches: jax.Array,
     target_patches: jax.Array,

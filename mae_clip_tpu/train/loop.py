@@ -74,12 +74,20 @@ def _clip_loss_fn(cfg: Config, mesh: Optional[Mesh]) -> Callable:
             return losses_lib.temperature_of(extras["logit_scale"])
         return cfg.temperature
 
+    hard = cfg.contrastive_loss == "clip"
     if not use_global:
+        local_fn = (losses_lib.clip_hard_ce_loss if hard
+                    else losses_lib.clip_soft_ce_loss)
         return lambda img, txt, valid, extras=None: \
-            losses_lib.clip_soft_ce_loss(img, txt, temp_of(extras), valid)
+            local_fn(img, txt, temp_of(extras), valid)
 
     spec = P(data_axis)
-    if cfg.loss_chunk_size > 0:
+    if hard:
+        # The hard-label global loss streams when chunked (one pass).
+        fn = functools.partial(losses_lib.global_clip_hard_ce_loss,
+                               axis_name=data_axis,
+                               chunk_size=cfg.loss_chunk_size)
+    elif cfg.loss_chunk_size > 0:
         fn = functools.partial(losses_lib.global_clip_soft_ce_loss_chunked,
                                axis_name=data_axis,
                                chunk_size=cfg.loss_chunk_size)

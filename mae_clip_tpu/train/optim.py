@@ -125,6 +125,29 @@ def _adamw(lr, wd: float) -> optax.GradientTransformation:
                        weight_decay=wd)
 
 
+def _base_opt(cfg: Config, lr, wd: float) -> optax.GradientTransformation:
+    """Per-group inner optimizer for ``cfg.optimizer``.
+
+    * ``adamw`` — the reference's optimizer (main.py:101-103, torch
+      defaults), and the default here.
+    * ``lamb`` — layerwise-adaptive AdamW (arXiv:1904.00962): trust-ratio
+      scaling per layer, the standard choice when the 32k-global-batch
+      recipe pushes LR beyond plain AdamW's stability range.
+    * ``lion`` — sign-momentum optimizer (arXiv:2302.06675): 1 moment
+      instead of 2 (halves optimizer HBM — composes with
+      ``mesh.shard_opt_state``), typical LR ~10x smaller than AdamW's.
+    """
+    if cfg.optimizer == "adamw":
+        return _adamw(lr, wd)
+    if cfg.optimizer == "lamb":
+        return optax.lamb(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-6,
+                          weight_decay=wd)
+    if cfg.optimizer == "lion":
+        return optax.lion(learning_rate=lr, b1=0.9, b2=0.99,
+                          weight_decay=wd)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
 def param_groups(cfg: Config, params: Any) -> Any:
     """Label tree: each leaf -> "head" | "image" | "text" | "logit" | "frozen".
 
@@ -161,20 +184,21 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
     """Build the optimizer for ``cfg.recipe`` over a CLIPModel param tree."""
 
     sched = lambda peak: base_lr_schedule(cfg, peak)
+    opt = lambda lr, wd: _base_opt(cfg, lr, wd)
     if cfg.recipe == "py":
         transforms = {
-            "head": _adamw(sched(cfg.lr), cfg.weight_decay),
-            "image": _adamw(sched(cfg.lr), cfg.weight_decay),
-            "text": _adamw(sched(cfg.lr), cfg.weight_decay),
-            "logit": _adamw(sched(cfg.lr), 0.0),
+            "head": opt(sched(cfg.lr), cfg.weight_decay),
+            "image": opt(sched(cfg.lr), cfg.weight_decay),
+            "text": opt(sched(cfg.lr), cfg.weight_decay),
+            "logit": opt(sched(cfg.lr), 0.0),
             "frozen": optax.set_to_zero(),
         }
     elif cfg.recipe == "notebook":
         transforms = {
-            "head": _adamw(sched(cfg.head_lr), cfg.weight_decay),
-            "image": _adamw(sched(cfg.image_encoder_lr), 0.0),
-            "text": _adamw(sched(cfg.text_encoder_lr), 0.0),
-            "logit": _adamw(sched(cfg.head_lr), 0.0),
+            "head": opt(sched(cfg.head_lr), cfg.weight_decay),
+            "image": opt(sched(cfg.image_encoder_lr), 0.0),
+            "text": opt(sched(cfg.text_encoder_lr), 0.0),
+            "logit": opt(sched(cfg.head_lr), 0.0),
             "frozen": optax.set_to_zero(),
         }
     else:

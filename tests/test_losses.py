@@ -208,3 +208,76 @@ def test_temperature_of_clamps_at_100():
                        0.07, rtol=1e-5)
     # CLIP's clamp: exp(s) never exceeds 100, so T floors at 0.01.
     assert np.allclose(float(temperature_of(jnp.asarray(np.log(1e6)))), 0.01)
+
+
+# ---------------------------------------------------------------------------
+# Standard CLIP-paper objective (contrastive_loss="clip"): hard targets,
+# L2-normalized embeddings (arXiv:2103.00020 fig. 3)
+# ---------------------------------------------------------------------------
+
+from mae_clip_tpu.ops.losses import clip_hard_ce_loss  # noqa: E402
+
+
+def torch_hard_clip_loss(img, txt, temperature, want_grads=False):
+    """Independent torch oracle of the CLIP-paper pseudocode."""
+    t_img = torch.tensor(img, requires_grad=want_grads)
+    t_txt = torch.tensor(txt, requires_grad=want_grads)
+    imn = F.normalize(t_img, p=2, dim=-1)
+    txn = F.normalize(t_txt, p=2, dim=-1)
+    logits = (txn @ imn.T) / temperature
+    labels = torch.arange(img.shape[0])
+    loss = (F.cross_entropy(logits, labels)
+            + F.cross_entropy(logits.T, labels)) / 2
+    if want_grads:
+        loss.backward()
+        return loss.item(), t_img.grad.numpy(), t_txt.grad.numpy()
+    return loss.item()
+
+
+@pytest.mark.parametrize("temperature", [1.0, 0.07])
+def test_hard_ce_matches_torch_oracle(temperature):
+    rng = np.random.default_rng(20)
+    img = rng.normal(size=(8, 16)).astype(np.float32)
+    txt = rng.normal(size=(8, 16)).astype(np.float32)
+    expected = torch_hard_clip_loss(img, txt, temperature)
+    got = float(clip_hard_ce_loss(jnp.array(img), jnp.array(txt),
+                                  temperature))
+    assert np.allclose(got, expected, rtol=1e-5, atol=1e-5), (got, expected)
+
+
+def test_hard_ce_grads_match_torch():
+    rng = np.random.default_rng(21)
+    img = rng.normal(size=(6, 8)).astype(np.float32)
+    txt = rng.normal(size=(6, 8)).astype(np.float32)
+    _, g_img_t, g_txt_t = torch_hard_clip_loss(img, txt, 0.5, want_grads=True)
+    g_img, g_txt = jax.grad(
+        lambda a, b: clip_hard_ce_loss(a, b, 0.5), argnums=(0, 1)
+    )(jnp.array(img), jnp.array(txt))
+    np.testing.assert_allclose(np.asarray(g_img), g_img_t, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_txt), g_txt_t, atol=1e-5)
+
+
+def test_hard_ce_ragged_tail_masking():
+    """Padded rows must change neither the loss nor the valid-row grads."""
+    rng = np.random.default_rng(22)
+    img = rng.normal(size=(5, 8)).astype(np.float32)
+    txt = rng.normal(size=(5, 8)).astype(np.float32)
+    full = float(clip_hard_ce_loss(jnp.array(img), jnp.array(txt), 1.0))
+    g_full = jax.grad(lambda a: clip_hard_ce_loss(a, jnp.array(txt), 1.0))(
+        jnp.array(img))
+
+    pad = 3
+    img_p = np.concatenate([img,
+                            rng.normal(size=(pad, 8)).astype(np.float32)])
+    txt_p = np.concatenate([txt,
+                            rng.normal(size=(pad, 8)).astype(np.float32)])
+    valid = jnp.array([True] * 5 + [False] * pad)
+    masked = float(clip_hard_ce_loss(jnp.array(img_p), jnp.array(txt_p), 1.0,
+                                     valid=valid))
+    assert np.allclose(masked, full, atol=1e-5), (masked, full)
+    g_masked = jax.grad(
+        lambda a: clip_hard_ce_loss(a, jnp.array(txt_p), 1.0, valid=valid)
+    )(jnp.array(img_p))
+    np.testing.assert_allclose(np.asarray(g_masked)[:5], np.asarray(g_full),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_masked)[5:], 0.0, atol=1e-6)

@@ -245,3 +245,63 @@ def test_grad_clip_composes_with_train_step_and_lr_scale():
     assert np.isfinite(float(metrics["loss"]))
     from mae_clip_tpu.train.optim import current_lr
     assert current_lr(cfg, state.opt_state) > 0
+
+
+# ---------------------------------------------------------------------------
+# Optimizer families (cfg.optimizer): lamb / lion
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("name", ["lamb", "lion"])
+def test_optimizer_family_updates_and_freezes(name):
+    """Non-default inner optimizers still honor the frozen-text grouping
+    and produce finite, nonzero updates for trainable groups."""
+    cfg = Config(recipe="py", optimizer=name, trainable=True,
+                 text_trainable=False)
+    params = _fake_clip_params()
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 0.5), params)
+    updates, _ = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(updates["text_encoder"]["model"]["layer_0"]
+                         ["kernel"]).max()) == 0.0
+    u = np.asarray(updates["image_projection"]["projection"]["kernel"])
+    assert np.all(np.isfinite(u)) and np.abs(u).max() > 0.0
+
+
+def test_lion_update_matches_optax_direct():
+    """The chained/multi-transform wiring adds nothing on top of the raw
+    optax.lion update for a single trainable group."""
+    import optax
+    cfg = Config(recipe="py", optimizer="lion", lr=1e-4,
+                 weight_decay=1e-2, text_trainable=True)
+    rng = np.random.default_rng(1)
+    w0 = rng.normal(size=(4, 4)).astype(np.float32)
+    params = {"image_projection": {"projection": {"kernel": jnp.array(w0)}}}
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
+    ref = optax.lion(learning_rate=1e-4, b1=0.9, b2=0.99, weight_decay=1e-2)
+    ref_params = {"image_projection": {"projection": {"kernel": jnp.array(w0)}}}
+    ref_state = ref.init(ref_params)
+
+    for _ in range(3):
+        g = rng.normal(size=(4, 4)).astype(np.float32)
+        grads = {"image_projection": {"projection": {"kernel": jnp.array(g)}}}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        ref_updates, ref_state = ref.update(grads, ref_state, ref_params)
+        ref_params = jax.tree_util.tree_map(lambda p, u: p + u, ref_params,
+                                            ref_updates)
+    np.testing.assert_allclose(
+        np.asarray(params["image_projection"]["projection"]["kernel"]),
+        np.asarray(ref_params["image_projection"]["projection"]["kernel"]),
+        atol=1e-7)
+
+
+def test_unknown_optimizer_rejected():
+    with pytest.raises(ValueError, match="optimizer"):
+        Config(optimizer="sgd").validate()

@@ -344,3 +344,66 @@ def test_global_siglip_ring_matches_local():
     np.testing.assert_allclose(float(ring_val), float(local_val), atol=1e-5)
     for rg, lg in zip(ring_grads, local_grads):
         np.testing.assert_allclose(np.asarray(rg), np.asarray(lg), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Standard CLIP objective (hard targets), global forms
+# ---------------------------------------------------------------------------
+
+def _hard_loss_fn(mesh, temperature=1.0, chunk_size=0):
+    from mae_clip_tpu.ops.losses import global_clip_hard_ce_loss
+    spec = P("data")
+    fn = functools.partial(global_clip_hard_ce_loss,
+                           temperature=temperature, axis_name="data",
+                           chunk_size=chunk_size)
+    return shard_map(lambda i, t, v: fn(i, t, valid=v), mesh=mesh,
+                     in_specs=(spec, spec, spec), out_specs=P())
+
+
+def test_global_hard_ce_matches_local_with_padding_and_grads():
+    from mae_clip_tpu.ops.losses import clip_hard_ce_loss
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(30)
+    img = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    txt = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    valid = np.ones((16,), dtype=bool)
+    valid[13:] = False  # ragged global tail
+    valid = jnp.array(valid)
+
+    local = clip_hard_ce_loss(img, txt, 0.5, valid)
+    g_local = jax.grad(lambda a, b: clip_hard_ce_loss(a, b, 0.5, valid),
+                       argnums=(0, 1))(img, txt)
+    loss_fn = _hard_loss_fn(mesh, temperature=0.5)
+    with mesh:
+        global_ = loss_fn(img, txt, valid)
+        g_global = jax.grad(lambda a, b: loss_fn(a, b, valid),
+                            argnums=(0, 1))(img, txt)
+    np.testing.assert_allclose(float(global_), float(local), atol=1e-5)
+    for a, b in zip(g_local, g_global):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_global_hard_ce_chunked_matches_unchunked():
+    """Streaming (online-logsumexp) hard CE == direct, incl. a ragged final
+    chunk (chunk_size=5 over a 16-wide global batch) and grads."""
+    from mae_clip_tpu.ops.losses import clip_hard_ce_loss
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(31)
+    img = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    txt = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+    valid = np.ones((16,), dtype=bool)
+    valid[14:] = False
+    valid = jnp.array(valid)
+
+    local = clip_hard_ce_loss(img, txt, 0.07, valid)
+    loss_fn = _hard_loss_fn(mesh, temperature=0.07, chunk_size=5)
+    with mesh:
+        chunked = loss_fn(img, txt, valid)
+        g_chunked = jax.grad(lambda a, b: loss_fn(a, b, valid),
+                             argnums=(0, 1))(img, txt)
+    g_local = jax.grad(lambda a, b: clip_hard_ce_loss(a, b, 0.07, valid),
+                       argnums=(0, 1))(img, txt)
+    np.testing.assert_allclose(float(chunked), float(local), rtol=1e-5,
+                               atol=1e-5)
+    for a, b in zip(g_local, g_chunked):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)

@@ -644,3 +644,99 @@ def test_learnable_temperature_param_clamped_post_update():
         state, m = step(state, batch)
         assert float(state.params["logit_scale"]) <= np.log(100.0) + 1e-6
         assert np.isfinite(float(m["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# Standard CLIP objective (contrastive_loss="clip") through the train step
+# ---------------------------------------------------------------------------
+
+def test_train_step_clip_objective_learns():
+    """contrastive_loss='clip' + learnable_temperature: the hard-CE loss
+    decreases, logit_scale exists and moves, and loss at init equals
+    -log-softmax of the normalized similarities (finite, > 0)."""
+    cfg = tiny_cfg(contrastive_loss="clip", learnable_temperature=True,
+                   temperature=0.5)
+    model, variables, batch = build(cfg)
+    assert "logit_scale" in variables["params"]
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, cfg)
+    scale0 = float(state.params["logit_scale"])
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses
+    assert float(state.params["logit_scale"]) != scale0
+
+
+def test_gradcache_clip_objective_matches_giant_batch():
+    """GradCache accumulation with the hard-CE objective (+ learnable T)
+    still reproduces the exact giant-batch step."""
+    import optax
+
+    cfg = _gradcache_cfg().replace(contrastive_loss="clip",
+                                   learnable_temperature=True)
+    model, variables, batch = build(cfg)
+    tx = optax.sgd(0.1)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    state_g = TrainState.create(copy(variables["params"]), tx,
+                                jax.random.PRNGKey(2))
+    state_a = TrainState.create(copy(variables["params"]), tx,
+                                jax.random.PRNGKey(2))
+    state_g, mg = make_train_step(model, tx, cfg)(state_g, batch)
+    state_a, ma = make_train_step(model, tx, cfg, accum_steps=4)(state_a,
+                                                                 batch)
+    for key in mg:
+        np.testing.assert_allclose(float(ma[key]), float(mg[key]),
+                                   rtol=2e-6, err_msg=key)
+    for (pa, xa), (pg, xg) in zip(
+            jax.tree_util.tree_leaves_with_path(state_a.params),
+            jax.tree_util.tree_leaves_with_path(state_g.params)):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xg),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
+def test_mesh_step_clip_objective_matches_single_device():
+    """Sharded train step with the hard-CE global loss (all-gather +
+    axis_index labels) == the local step's loss."""
+    cfg = tiny_cfg(contrastive_loss="clip", global_contrastive=True)
+    model, variables, batch = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    state1 = TrainState.create(copy(variables["params"]), tx,
+                               jax.random.PRNGKey(2))
+    state1, m1 = make_train_step(model, tx, cfg)(state1, batch)
+
+    mesh = create_mesh(8, 1)
+    state2 = TrainState.create(copy(variables["params"]), tx,
+                               jax.random.PRNGKey(2))
+    state2, m2 = make_train_step(model, tx, cfg, mesh=mesh)(state2, batch)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               atol=1e-5)
+
+
+def test_mesh_step_clip_objective_chunked_matches_single_device():
+    """loss_chunk_size routes the hard objective through its streaming
+    one-pass form under the mesh; result still matches the local step."""
+    cfg = tiny_cfg(contrastive_loss="clip", global_contrastive=True,
+                   loss_chunk_size=3)
+    model, variables, batch = build(cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    cfg_local = cfg.replace(loss_chunk_size=0)
+    state1 = TrainState.create(copy(variables["params"]), tx,
+                               jax.random.PRNGKey(2))
+    state1, m1 = make_train_step(model, tx, cfg_local)(state1, batch)
+
+    mesh = create_mesh(8, 1)
+    state2 = TrainState.create(copy(variables["params"]), tx,
+                               jax.random.PRNGKey(2))
+    state2, m2 = make_train_step(model, tx, cfg, mesh=mesh)(state2, batch)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               atol=1e-5)
