@@ -177,15 +177,31 @@ def cmd_train(args) -> None:
     # NHWC fp32 on v5e). ResNet keeps NHWC (conv input).
     vit_fast = cfg.model_name.startswith("vit")
 
-    def make_ds(df):
+    # --augment: decode TRAIN images once at mae.aug_source_size fixed
+    # NHWC geometry; a fresh RandomResizedCrop+flip is sampled per step
+    # inside the jitted step (train.loop._prep_images — the same
+    # device-side path the MAE objective uses). Validation keeps the
+    # deterministic fixed-geometry pipeline, so eval/retrieval parity is
+    # unaffected. Off by default: the reference trains without any
+    # augmentation (dataset.py:44-58, train == valid transforms).
+    augment = getattr(args, "augment", False)
+    if augment and cfg.mae.aug_source_size == cfg.size:
+        raise SystemExit(
+            "--augment needs mae.aug_source_size != size (crops need "
+            "spare source pixels); set --set mae.aug_source_size=256")
+
+    def make_ds(df, aug=False):
         return CaptionDataset(df["image"].values, df["caption"].values,
                               tokenizer, image_path=cfg.image_path,
-                              size=cfg.size, max_length=cfg.max_length,
-                              raw_uint8=vit_fast,
-                              patchify_size=16 if vit_fast else None,
+                              size=cfg.mae.aug_source_size if aug
+                              else cfg.size,
+                              max_length=cfg.max_length,
+                              raw_uint8=vit_fast or aug,
+                              patchify_size=16 if vit_fast and not aug
+                              else None,
                               cache=cfg.cache_images)
 
-    train_ds, valid_ds = make_ds(train_df), make_ds(valid_df)
+    train_ds, valid_ds = make_ds(train_df, aug=augment), make_ds(valid_df)
     cfg = _with_computed_decay_steps(cfg, len(train_ds))
 
     mesh = None
@@ -197,10 +213,12 @@ def cmd_train(args) -> None:
                next(make_loader(train_ds, cfg.batch_size,
                                 num_threads=1)).items() if k != "caption"}
     if example["image"].dtype == np.uint8:
-        # The train step normalizes uint8 on-device; init only needs the
-        # post-normalization shape/dtype.
-        example = dict(example, image=np.zeros(example["image"].shape,
-                                               np.float32))
+        # The train step normalizes (and, for aug-source geometry, crops)
+        # uint8 on-device; init only needs the post-prep shape/dtype.
+        shape = example["image"].shape
+        if augment:
+            shape = (shape[0], cfg.size, cfg.size, shape[3])
+        example = dict(example, image=np.zeros(shape, np.float32))
     variables = jax.jit(
         lambda r, b: model.init(r, b, mask_rng=jax.random.PRNGKey(1))
     )(jax.random.PRNGKey(cfg.seed), example)
@@ -429,6 +447,12 @@ def cmd_zeroshot(args) -> None:
         probs = np.asarray(siglip_zero_shot_probs(
             emb, classifier, params["logit_scale"],
             params["logit_bias"]))[0]
+    elif cfg.contrastive_loss == "clip" and "logit_scale" in params:
+        # The CLIP-paper objective evaluates with its TRAINED scale
+        # (arXiv:2103.00020 §2.5; exp(s) clamped at 100 == the protocol's
+        # fixed 100 once training saturates the clamp).
+        scale = float(np.minimum(np.exp(params["logit_scale"]), 100.0))
+        probs = np.asarray(zero_shot_probs(emb, classifier, scale))[0]
     else:
         probs = np.asarray(zero_shot_probs(emb, classifier))[0]
     order = np.argsort(-probs)
@@ -885,6 +909,12 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--coco-train")
     p.add_argument("--coco-val")
     p.add_argument("--captions-dir")
+    p.add_argument("--augment", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="per-step device-side RandomResizedCrop+flip for "
+                        "TRAIN images (decoded once at mae.aug_source_size;"
+                        " validation stays deterministic). The reference "
+                        "trains without augmentation (its default here).")
     p.add_argument("--eval-retrieval", action="store_true",
                    help="compute recall@K on the validation split per epoch")
     p.add_argument("--progress", action=argparse.BooleanOptionalAction,

@@ -249,6 +249,11 @@ class RetrievalService:
             probs = jax.nn.sigmoid(
                 jnp.exp(params["logit_scale"]) * (img @ cls.T)
                 + params["logit_bias"])
+        elif "logit_scale" in params:
+            # Learnable-temperature softmax/clip checkpoint: score with
+            # the trained exp(s), clamped at 100 like the training loss.
+            trained = jnp.minimum(jnp.exp(params["logit_scale"]), 100.0)
+            probs = jax.nn.softmax(trained * (img @ cls.T), axis=-1)
         else:
             probs = jax.nn.softmax(scale * (img @ cls.T), axis=-1)
         return {l: float(p) for l, p in zip(labels, np.asarray(probs)[0])}

@@ -115,16 +115,43 @@ def _loss_extras(params) -> Dict[str, jax.Array]:
     return {k: params[k] for k in _LOSS_PARAM_KEYS if k in params}
 
 
+def _prep_images(images, rng, train: bool, cfg: Config):
+    """Device-side image preparation inside the jitted step.
+
+    * NHWC sources at a geometry LARGER than ``cfg.size`` (the
+      ``mae.aug_source_size`` staging convention) get a fresh
+      RandomResizedCrop+flip per train step (``ops/augment.py``) or a
+      deterministic full-frame resize on eval, then ImageNet normalize —
+      the host never re-decodes or re-crops (~30-50x on this container's
+      single core; see BASELINE.md "MAE input path").
+    * Already-sized uint8 (NHWC or pre-patchified (B, N, P*P*C)) is just
+      normalized: 4x less host->HBM traffic than fp32, and the normalize
+      rides the VPU fused into the step.
+    * Anything else (fp32 at model geometry) passes through untouched.
+    """
+    if images.ndim == 4 and images.shape[1] != cfg.size:
+        from mae_clip_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+        from mae_clip_tpu.ops.augment import (
+            random_resized_crop_flip_batch, resize_batch)
+        if train:
+            images = random_resized_crop_flip_batch(
+                images, jax.random.fold_in(rng, 3), cfg.size)
+        else:
+            images = resize_batch(images, cfg.size)
+        return ((images / 255.0 - jnp.asarray(IMAGENET_MEAN))
+                / jnp.asarray(IMAGENET_STD))
+    if images.dtype == jnp.uint8:
+        from mae_clip_tpu.data.images import normalize_uint8
+        return normalize_uint8(images)
+    return images
+
+
 def _forward(model, variables, batch, train, rng, cfg: Config,
              mae_masking=None):
     """Run the model, returning (outputs, new_batch_stats)."""
-    if batch["image"].dtype == jnp.uint8:
-        # Fused on-device preprocessing: the loader ships compact uint8
-        # (4x less host->HBM traffic than fp32, and pre-patchified layouts
-        # avoid minor-dim-3 device reshapes); normalize rides the VPU
-        # inside the same jitted step.
-        from mae_clip_tpu.data.images import normalize_uint8
-        batch = dict(batch, image=normalize_uint8(batch["image"]))
+    prepped = _prep_images(batch["image"], rng, train, cfg)
+    if prepped is not batch["image"]:
+        batch = dict(batch, image=prepped)
     rngs = {}
     mask_rng = None
     if train:
@@ -404,28 +431,7 @@ def _compile_step(step_fn, cfg: Config, mesh: Optional[Mesh],
 def _mae_images_and_forward(model, params, batch, rng, train: bool,
                             cfg: Config):
     """Shared forward for the image-only MAE objective."""
-    images = batch["image"]
-    if images.ndim == 4 and images.shape[1] != cfg.size:
-        # Device-side augmentation (ops/augment.py): the loader/store
-        # ships fixed-geometry uint8 sources at mae.aug_source_size; a
-        # fresh RandomResizedCrop+flip is sampled per step INSIDE the
-        # jitted step (train), deterministic full-frame resize on eval.
-        # This removes the per-epoch host decode+crop (~75-150 img/s on
-        # one core) from the input path entirely and composes with
-        # device_data + supersteps.
-        from mae_clip_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
-        from mae_clip_tpu.ops.augment import (
-            random_resized_crop_flip_batch, resize_batch)
-        if train:
-            images = random_resized_crop_flip_batch(
-                images, jax.random.fold_in(rng, 3), cfg.size)
-        else:
-            images = resize_batch(images, cfg.size)
-        images = ((images / 255.0 - jnp.asarray(IMAGENET_MEAN))
-                  / jnp.asarray(IMAGENET_STD))
-    elif images.dtype == jnp.uint8:
-        from mae_clip_tpu.data.images import normalize_uint8
-        images = normalize_uint8(images)
+    images = _prep_images(batch["image"], rng, train, cfg)
     rngs = {"dropout": jax.random.fold_in(rng, 1)} if train else {}
     out = model.apply({"params": params}, images,
                       jax.random.fold_in(rng, 2), not train, rngs=rngs)

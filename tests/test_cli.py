@@ -284,3 +284,52 @@ def test_cli_embed_from_shards(tmp_path, capsys):
         np.linalg.norm(z["image_embeddings"], axis=1), 1.0, atol=1e-5)
     assert len(z["keys"]) == 7 and len(set(z["keys"].tolist())) == 7
     assert all(t.startswith("a photo number") for t in z["texts"])
+
+
+def test_cli_train_with_device_augmentation(tmp_path, capsys):
+    """`cli train --augment`: train images decode once at
+    mae.aug_source_size NHWC and get per-step device-side crops; valid
+    stays fixed-geometry. Covers the init-example shape rewrite and the
+    make_ds geometry switch."""
+    import json as json_mod
+
+    import cv2
+    import numpy as np
+
+    data = tmp_path / "data"
+    img_dir = data / "Images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    rows = ["id,image,caption"]
+    words = ["dog", "cat", "red", "ball"]
+    for i in range(10):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.integers(0, 255, size=(56, 56, 3)).astype(np.uint8))
+        caption = " ".join(rng.choice(words, size=3))
+        rows.append(f"{i},{name},a photo of {caption}")
+    (data / "captions.csv").write_text("\n".join(rows))
+
+    vocab = tmp_path / "vocab.txt"
+    cli.main(["build-vocab", str(data / "captions.csv"), str(vocab),
+              "--vocab-size", "64"])
+    capsys.readouterr()
+
+    run_dir = tmp_path / "run"
+    cli.main([
+        "train", "--captions-dir", str(data), "--augment",
+        "--set", f"vocab_file={vocab}",
+        "--set", f"image_path={img_dir}",
+        "--set", "model_name=vit_s16", "--set", "image_embedding=384",
+        "--set", "batch_size=8", "--set", "epochs=1", "--set", "size=32",
+        "--set", "mae.aug_source_size=48",
+        "--set", "max_length=12", "--set", "compute_dtype=float32",
+        "--set", "text_trainable=false", "--set",
+        "frozen_text_eval_mode=true",
+        "--set", f"checkpoints={run_dir}",
+        "--set", f"logdir={tmp_path / 'logs'}",
+    ])
+    out = capsys.readouterr().out
+    result = json_mod.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(result["final_train_loss"])
+    assert np.isfinite(result["final_valid_loss"])

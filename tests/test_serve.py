@@ -262,3 +262,37 @@ def test_service_zeroshot_siglip_scoring():
     assert set(probs) == {"red", "blue"}
     assert all(0.0 < p < 1.0 for p in probs.values())
     assert abs(sum(probs.values()) - 1.0) > 1e-3
+
+
+def test_service_zeroshot_trained_temperature_scoring():
+    """A learnable-temperature checkpoint (logit_scale only, no bias)
+    scores labels with softmax at the TRAINED exp(s) clamped at 100 —
+    not the protocol's fixed 100."""
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=16,
+                 compute_dtype="float32", max_length=16,
+                 contrastive_loss="clip", learnable_temperature=True,
+                 temperature=0.5)
+    tok = WordPieceTokenizer(build_vocab(
+        ["a red square", "a blue circle"], vocab_size=64, min_frequency=1))
+    model = CLIPModel(
+        cfg,
+        text_config=DistilBertConfig(vocab_size=tok.vocab_size, dim=16,
+                                     n_layers=1, n_heads=2, hidden_dim=32,
+                                     max_position_embeddings=32),
+        vit_config=ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                             n_heads=2))
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.array(rng.normal(size=(2, 16, 16, 3)).astype(np.float32)),
+             "input_ids": jnp.array(rng.integers(0, tok.vocab_size, (2, 8)).astype(np.int32)),
+             "attention_mask": jnp.ones((2, 8), dtype=jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    params = variables["params"]
+    assert "logit_scale" in params and "logit_bias" not in params
+    # exp(s) = 1/temperature = 2 at init.
+    svc = RetrievalService(model, variables, tok, max_length=16)
+    img = rng.normal(size=(16, 16, 3)).astype(np.float32)
+    probs = svc.zeroshot(["red", "blue"], img)
+    assert abs(sum(probs.values()) - 1.0) < 1e-5      # softmax: sums to 1
+    # At scale 2 the softmax is much softer than at the fixed 100: both
+    # probabilities stay well inside (0.2, 0.8) for unit-norm features.
+    assert all(0.2 < p < 0.8 for p in probs.values()), probs

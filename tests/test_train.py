@@ -740,3 +740,37 @@ def test_mesh_step_clip_objective_chunked_matches_single_device():
     state2, m2 = make_train_step(model, tx, cfg, mesh=mesh)(state2, batch)
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
                                atol=1e-5)
+
+
+def test_clip_step_device_side_augmentation():
+    """NHWC uint8 sources LARGER than cfg.size route through the in-step
+    RandomResizedCrop+flip (train) / deterministic resize (eval) — the
+    same device-side augmentation path the MAE objective uses, now shared
+    by the joint/CLIP step (train.loop._prep_images)."""
+    cfg = tiny_cfg()
+    model, variables, _ = build(cfg)       # init at model geometry (16x16)
+    rng_np = np.random.default_rng(5)
+    aug_batch = {
+        "image": jnp.array(rng_np.integers(
+            0, 256, size=(8, 24, 24, 3)).astype(np.uint8)),
+        "input_ids": jnp.array(rng_np.integers(
+            0, 64, size=(8, 12)).astype(np.int32)),
+        "attention_mask": jnp.ones((8, 12), dtype=jnp.int32),
+        "valid": jnp.ones((8,), dtype=bool),
+    }
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
+    step = make_train_step(model, tx, cfg)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, aug_batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses
+
+    # Eval is a deterministic full-frame resize: identical metrics twice.
+    eval_step = make_eval_step(model, cfg)
+    m1 = eval_step(state, aug_batch)
+    m2 = eval_step(state, aug_batch)
+    np.testing.assert_array_equal(np.asarray(m1["loss"]),
+                                  np.asarray(m2["loss"]))
