@@ -255,12 +255,19 @@ def cmd_train(args) -> None:
             train_tf=train_tf, valid_tf=valid_tf)
 
     mngr = CheckpointManager(cfg.checkpoints)
+    step_mngr = None
+    if cfg.checkpoint_every_steps > 0:
+        from mae_clip_tpu.train.checkpoint import StepCheckpointManager
+        import os as _os
+        step_mngr = StepCheckpointManager(
+            _os.path.join(cfg.checkpoints, "steps"))
     writer = MetricWriter(cfg.logdir)
     trainer = Trainer(cfg, model, variables["params"],
                       batch_stats=variables.get("batch_stats"), mesh=mesh,
                       checkpoint_manager=mngr, writer=writer,
                       progress=getattr(args, "progress", True),
-                      train_store=train_store, valid_store=valid_store)
+                      train_store=train_store, valid_store=valid_store,
+                      step_checkpoint_manager=step_mngr)
 
     if train_loader is None:
         def train_loader():
@@ -279,8 +286,28 @@ def cmd_train(args) -> None:
             model, valid_ds, lambda d, b: make_loader(d, b),
             batch_size=cfg.batch_size, store=valid_store)
 
-    history = trainer.fit(train_loader, valid_loader, eval_fn=eval_fn)
+    start_epoch, skip_batches = 0, 0
+    if getattr(args, "resume", False):
+        # Prefer the NEWER of: the last mid-epoch step checkpoint (its
+        # meta epoch is the epoch it was interrupted in) vs the last
+        # completed-epoch checkpoint.
+        resumed_mid = False
+        if step_mngr is not None and step_mngr.latest_step() is not None:
+            meta = step_mngr.peek_meta()
+            done_epoch = mngr.latest_step()
+            if done_epoch is None or meta["epoch"] > done_epoch:
+                start_epoch, skip_batches = trainer.restore_mid_epoch()
+                resumed_mid = True
+        if not resumed_mid and mngr.latest_step() is not None:
+            start_epoch = trainer.restore() + 1
+        print(f"resumed: epoch {start_epoch}, batch {skip_batches}")
+
+    history = trainer.fit(train_loader, valid_loader, eval_fn=eval_fn,
+                          start_epoch=start_epoch,
+                          skip_batches=skip_batches)
     mngr.wait()
+    if step_mngr is not None:
+        step_mngr.wait()
     print(json.dumps({"final_train_loss": history["train_loss"][-1],
                       "final_valid_loss": history["valid_loss"][-1],
                       "best_valid_loss": trainer.best_loss}))
@@ -909,6 +936,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--coco-train")
     p.add_argument("--coco-val")
     p.add_argument("--captions-dir")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the checkpoints dir: the newest "
+                        "mid-epoch step checkpoint (checkpoint_every_steps"
+                        " > 0) or the last completed epoch")
     p.add_argument("--augment", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="per-step device-side RandomResizedCrop+flip for "

@@ -235,6 +235,14 @@ class Config:
     # device->host; async Orbax overlaps it with the NEXT epoch's
     # compute, but it contends for tunnel bandwidth.
     checkpoint_every: int = 1
+    # Step-granular (mid-epoch) checkpointing for preemption recovery:
+    # every N train BATCHES the full TrainState is saved to a rolling
+    # <checkpoints>/steps/ directory (train.checkpoint.
+    # StepCheckpointManager) with (epoch, batches_done) meta, and
+    # `cli train --resume` / Trainer.restore_mid_epoch fast-forward the
+    # deterministic per-epoch loader to resume bit-identically. 0 = off
+    # (epoch-level best-val checkpointing only, the reference's cadence).
+    checkpoint_every_steps: int = 0
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     global_contrastive: bool = True  # all-gather embeddings for global-batch loss
     loss_chunk_size: int = 0         # 0 = unchunked; >0 = blockwise global loss
@@ -297,6 +305,9 @@ class Config:
             raise ValueError("ema_decay must be in [0, 1) (0 disables)")
         if self.checkpoint_every < 0:
             raise ValueError("checkpoint_every must be >= 0 (0 disables)")
+        if self.checkpoint_every_steps < 0:
+            raise ValueError(
+                "checkpoint_every_steps must be >= 0 (0 disables)")
         if not 0.0 <= self.mae.mask_ratio < 1.0:
             raise ValueError("mask_ratio must be in [0, 1)")
         if self.mae.decoder_style not in ("full", "cross"):

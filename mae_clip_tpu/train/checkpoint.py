@@ -77,6 +77,67 @@ class CheckpointManager:
         self._mngr.close()
 
 
+class StepCheckpointManager:
+    """Rolling step-granular checkpoints for preemption recovery.
+
+    Complements :class:`CheckpointManager` (epoch-keyed, best-val
+    retention — the reference's save semantics, main.py:118-122): this one
+    is keyed by GLOBAL optimizer step, saved mid-epoch every
+    ``Config.checkpoint_every_steps`` train batches, and retains only the
+    newest few. It lives in its own directory so rotation can never evict
+    the epoch manager's best-val checkpoints. Meta records (epoch,
+    batches_done) so ``Trainer.restore_mid_epoch`` can fast-forward the
+    deterministic per-epoch loader and resume bit-identically.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 2):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            enable_async_checkpointing=True,
+        )
+        self._mngr = ocp.CheckpointManager(directory, options=options)
+
+    def save(self, step: int, state: Any, meta: Dict) -> None:
+        self._mngr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta)))
+
+    def restore(self, abstract_state: Any,
+                step: Optional[int] = None) -> Tuple[Any, Dict]:
+        step = step if step is not None else self._mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no step checkpoint found")
+        restored = self._mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state),
+                meta=ocp.args.JsonRestore()))
+        return restored["state"], restored["meta"]
+
+    def peek_meta(self, step: Optional[int] = None) -> Dict:
+        """Meta only (cheap: no array restore) — lets a resume path decide
+        between this and an epoch checkpoint without loading state."""
+        step = step if step is not None else self._mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no step checkpoint found")
+        restored = self._mngr.restore(
+            step, args=ocp.args.Composite(meta=ocp.args.JsonRestore()))
+        return restored["meta"]
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.close()
+
+
 def abstract_like(state: Any) -> Any:
     """Abstract pytree (shapes/dtypes) for StandardRestore."""
     return jax.tree_util.tree_map(

@@ -586,7 +586,8 @@ class Trainer:
                  writer: Optional[MetricWriter] = None,
                  progress: bool = False,
                  objective: str = "clip",
-                 train_store=None, valid_store=None):
+                 train_store=None, valid_store=None,
+                 step_checkpoint_manager=None):
         # objective: "clip" = contrastive (+joint MAE when cfg.mae.enabled;
         # model is a CLIPModel). "mae" = image-only MAE pretraining (model
         # is a standalone MAEViT; batches need only {image, valid}).
@@ -608,6 +609,12 @@ class Trainer:
             self.eval_step = make_eval_step(model, cfg, mesh)
         self.scheduler = ReduceLROnPlateau(cfg.patience, cfg.factor)
         self.checkpoint_manager = checkpoint_manager
+        # Step-granular rolling checkpoints (cfg.checkpoint_every_steps;
+        # train.checkpoint.StepCheckpointManager) — mid-epoch preemption
+        # recovery via restore_mid_epoch + fit(skip_batches=...).
+        self.step_checkpoint_manager = step_checkpoint_manager
+        self._epoch = 0
+        self._ckpt_mark = 0
         self.writer = writer
         self.best_loss = float("inf")
         self.progress = progress
@@ -695,7 +702,7 @@ class Trainer:
         return fn
 
     def _epoch_superstep(self, loader, k: int, meter: AvgMeter,
-                         train: bool) -> None:
+                         train: bool, batches_done: int = 0) -> None:
         """Drive one epoch through the K-steps-per-dispatch path. Keeps a
         1-deep pipeline: group g+1 is dispatched before group g's losses
         are fetched, so the fetch round trip overlaps device compute."""
@@ -711,7 +718,9 @@ class Trainer:
             pending.clear()
 
         def dispatch(idx_rows, valid_rows):
+            nonlocal batches_done
             counts = [int(v.sum()) for v in valid_rows]
+            n_real = len(idx_rows)
             pad = k - len(idx_rows)
             if pad:
                 idx_rows = idx_rows + [np.zeros_like(idx_rows[0])] * pad
@@ -730,6 +739,10 @@ class Trainer:
             pending.append((losses, counts))
             if train:
                 self.throughput.update(sum(counts))
+                # Step-checkpoint cadence lands on dispatch-group
+                # boundaries here (the state only exists between groups).
+                batches_done += n_real
+                self._maybe_step_checkpoint(batches_done)
 
         idx_rows, valid_rows = [], []
         for batch in loader:
@@ -788,12 +801,48 @@ class Trainer:
         if prev_dev is not None:
             yield prev_raw, prev_dev
 
-    def train_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
+    def _maybe_step_checkpoint(self, batches_done: int) -> None:
+        """Rolling mid-epoch save every ``cfg.checkpoint_every_steps``
+        train batches (keyed by global optimizer step; async Orbax)."""
+        every = self.cfg.checkpoint_every_steps
+        mgr = self.step_checkpoint_manager
+        if mgr is None or every <= 0:
+            return
+        mark = batches_done // every
+        if mark <= self._ckpt_mark:
+            return
+        self._ckpt_mark = mark
+        mgr.save(int(self.state.step), self.state,
+                 meta={"epoch": self._epoch,
+                       "batches_done": batches_done,
+                       "scheduler": self.scheduler.state_dict(),
+                       "best_loss": self.best_loss})
+
+    @staticmethod
+    def _skip(loader: Iterable, n: int):
+        """Fast-forward a deterministic per-epoch loader past its first
+        ``n`` batches (mid-epoch resume): the remaining sequence is
+        identical to the original run's, so resumed training is
+        bit-identical (per-step rng folds in the restored state.step)."""
+        it = iter(loader)
+        for _ in range(n):
+            if next(it, None) is None:
+                break
+        return it
+
+    def train_epoch(self, loader: Iterable[Dict[str, Any]],
+                    skip_batches: int = 0) -> AvgMeter:
         meter = AvgMeter("train_loss")
+        every = self.cfg.checkpoint_every_steps
+        self._ckpt_mark = skip_batches // every if every > 0 else 0
+        batches_done = skip_batches
+        if skip_batches:
+            loader = self._skip(loader, skip_batches)
         self.throughput.start()
         k = self._superstep_k(train=True)
         if k > 1:
-            self._epoch_superstep(loader, k, meter, train=True)
+            self._epoch_superstep(loader, k, meter, train=True,
+                                  batches_done=batches_done)
             self.throughput.stop()
             return meter
         bar = self._progress_bar(
@@ -816,6 +865,8 @@ class Trainer:
             count = self._count(raw)
             self.state, metrics = self.train_step(self.state, batch)
             pending.append((metrics["loss"], count))
+            batches_done += 1
+            self._maybe_step_checkpoint(batches_done)
             if len(pending) >= fetch_every:
                 drain()
             if self.cfg.scheduler_step == "batch":
@@ -898,6 +949,25 @@ class Trainer:
             self.checkpoint_manager.latest_step()
         return int(restored)
 
+    def restore_mid_epoch(self, step: Optional[int] = None
+                          ) -> Tuple[int, int]:
+        """Resume from the newest step-granular checkpoint (preemption
+        recovery; ``cfg.checkpoint_every_steps``): restores the full
+        TrainState + scheduler + best-loss and returns ``(epoch,
+        batches_done)`` — pass them to ``fit(start_epoch=epoch,
+        skip_batches=batches_done)`` to continue bit-identically."""
+        from mae_clip_tpu.train.checkpoint import abstract_like
+        if self.step_checkpoint_manager is None:
+            raise ValueError("Trainer has no step_checkpoint_manager")
+        state, meta = self.step_checkpoint_manager.restore(
+            abstract_like(self.state), step)
+        self.state = state
+        if meta.get("scheduler"):
+            self.scheduler.load_state_dict(meta["scheduler"])
+        if meta.get("best_loss") is not None:
+            self.best_loss = meta["best_loss"]
+        return int(meta["epoch"]), int(meta["batches_done"])
+
     @staticmethod
     def _call_loader(fn: Callable, epoch: int):
         """Loader factories may take the epoch index (for seeded shuffles)
@@ -920,19 +990,26 @@ class Trainer:
             valid_loader_fn: Callable,
             epochs: Optional[int] = None,
             start_epoch: int = 0,
+            skip_batches: int = 0,
             eval_fn: Optional[Callable[["Trainer", int], Dict[str, float]]]
             = None) -> Dict[str, Any]:
         """Full training run; returns history. Loader fns build fresh
         per-epoch iterables (the reference reshuffles per epoch); pass
-        ``start_epoch`` (e.g. ``trainer.restore() + 1``) to resume.
-        ``eval_fn(trainer, epoch)`` may return extra scalars (recall@K,
-        zero-shot accuracy, ...) written alongside the losses."""
+        ``start_epoch`` (e.g. ``trainer.restore() + 1``) to resume, or
+        ``start_epoch + skip_batches`` from ``restore_mid_epoch()`` to
+        resume inside an epoch (the first epoch's train loader is
+        fast-forwarded; its meter then averages only the remaining
+        batches). ``eval_fn(trainer, epoch)`` may return extra scalars
+        (recall@K, zero-shot accuracy, ...) written alongside the
+        losses."""
         cfg = self.cfg
         history = {"train_loss": [], "valid_loss": []}
         for epoch in range(start_epoch,
                            epochs if epochs is not None else cfg.epochs):
+            self._epoch = epoch
             train_meter = self.train_epoch(
-                self._call_loader(train_loader_fn, epoch))
+                self._call_loader(train_loader_fn, epoch),
+                skip_batches=skip_batches if epoch == start_epoch else 0)
             valid_meter = self.valid_epoch(
                 self._call_loader(valid_loader_fn, epoch))
             # Reference quirk: with recipe='py' the epoch-mode scheduler is

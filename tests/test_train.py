@@ -774,3 +774,57 @@ def test_clip_step_device_side_augmentation():
     m2 = eval_step(state, aug_batch)
     np.testing.assert_array_equal(np.asarray(m1["loss"]),
                                   np.asarray(m2["loss"]))
+
+
+def test_mid_epoch_step_checkpoint_resume_bit_identical(tmp_path):
+    """checkpoint_every_steps: a run killed mid-epoch resumes from the
+    rolling step checkpoint (restore_mid_epoch + fit(skip_batches)) and
+    finishes with EXACTLY the params of the uninterrupted run."""
+    from mae_clip_tpu.train.checkpoint import StepCheckpointManager
+
+    n_batches = 6
+    every = 2
+
+    def batches_for(epoch):
+        rng = np.random.default_rng(200 + epoch)
+        return iter([{k: np.asarray(v) for k, v in tiny_batch(rng).items()}
+                     for _ in range(n_batches)])
+
+    def make_trainer(ckpt_dir):
+        cfg = tiny_cfg(epochs=1, checkpoints=str(ckpt_dir),
+                       checkpoint_every_steps=every)
+        model, variables, _ = build(cfg)
+        mngr = StepCheckpointManager(str(ckpt_dir))
+        return Trainer(cfg, model, variables["params"],
+                       step_checkpoint_manager=mngr)
+
+    # Uninterrupted run: one full epoch.
+    straight = make_trainer(tmp_path / "a")
+    straight.fit(batches_for, lambda e: iter([]), epochs=1)
+    straight.step_checkpoint_manager.wait()
+
+    # Interrupted run: stop after 4 batches (2 step-checkpoints written).
+    broken = make_trainer(tmp_path / "b")
+    broken._epoch = 0
+    it = batches_for(0)
+    broken.train_epoch(iter([next(it) for _ in range(4)]))
+    broken.step_checkpoint_manager.wait()
+    assert broken.step_checkpoint_manager.latest_step() is not None
+
+    # Fresh process analogue: brand-new Trainer restores mid-epoch.
+    resumed = make_trainer(tmp_path / "b")
+    epoch, done = resumed.restore_mid_epoch()
+    assert (epoch, done) == (0, 4)
+    resumed.fit(batches_for, lambda e: iter([]), epochs=1,
+                start_epoch=epoch, skip_batches=done)
+
+    for (pa, xa), (pb, xb) in zip(
+            jax.tree_util.tree_leaves_with_path(resumed.state.params),
+            jax.tree_util.tree_leaves_with_path(straight.state.params)):
+        np.testing.assert_array_equal(
+            np.asarray(xa), np.asarray(xb),
+            err_msg=jax.tree_util.keystr(pa))
+    assert int(resumed.state.step) == int(straight.state.step) == n_batches
+    straight.step_checkpoint_manager.close()
+    resumed.step_checkpoint_manager.close()
+    broken.step_checkpoint_manager.close()
