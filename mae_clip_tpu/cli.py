@@ -89,12 +89,14 @@ def _tokenizer(cfg: Config):
     return WordPieceTokenizer.from_vocab_file(cfg.vocab_file)
 
 
-def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds, epoch_seed,
+def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds,
                        train_tf=None, valid_tf=None):
     """Stores + index-loader factories for ``cfg.device_data`` (replicated,
     or row-sharded over the mesh with ``device_data_sharded``). Shared by
-    ``cmd_train`` and ``cmd_mae_pretrain``. ``epoch_seed`` is the mutable
-    1-element per-epoch reshuffle counter both commands use."""
+    ``cmd_train`` and ``cmd_mae_pretrain``. Train factories are keyed by
+    the EPOCH index (Trainer passes it) — a pure function of (seed,
+    epoch), so ``--resume`` replays the interrupted epoch's exact shuffle
+    and mid-epoch skip_batches lands on the right batches."""
     sharded = cfg.device_data_sharded and mesh is not None
     if sharded:
         from mae_clip_tpu.data.device_store import (
@@ -105,11 +107,10 @@ def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds, epoch_seed,
             valid_ds, mesh=mesh, text_features=valid_tf)
         n_shards = mesh.shape[cfg.mesh.axis_names[0]]
 
-        def train_loader():
-            epoch_seed[0] += 1
+        def train_loader(epoch):
             return make_sharded_index_loader(
                 len(train_ds), cfg.batch_size, n_shards, shuffle=True,
-                seed=cfg.seed, epoch=epoch_seed[0])
+                seed=cfg.seed, epoch=cfg.seed + 1 + epoch)
 
         def valid_loader():
             return make_sharded_index_loader(len(valid_ds),
@@ -120,10 +121,10 @@ def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds, epoch_seed,
         train_store = build_device_store(train_ds, text_features=train_tf)
         valid_store = build_device_store(valid_ds, text_features=valid_tf)
 
-        def train_loader():
-            epoch_seed[0] += 1
+        def train_loader(epoch):
             return make_index_loader(len(train_ds), cfg.batch_size,
-                                     shuffle=True, seed=epoch_seed[0])
+                                     shuffle=True,
+                                     seed=cfg.seed + 1 + epoch)
 
         def valid_loader():
             return make_index_loader(len(valid_ds), cfg.batch_size)
@@ -246,12 +247,11 @@ def cmd_train(args) -> None:
 
     # Device-resident data: whole decoded dataset staged in HBM, batches
     # gathered on device from (B,) index vectors (data.device_store).
-    epoch_seed = [cfg.seed]
     train_store = valid_store = train_loader = valid_loader = None
     if cfg.device_data:
         (train_store, valid_store, train_loader,
          valid_loader) = _device_data_setup(
-            cfg, mesh, train_ds, valid_ds, epoch_seed,
+            cfg, mesh, train_ds, valid_ds,
             train_tf=train_tf, valid_tf=valid_tf)
 
     mngr = CheckpointManager(cfg.checkpoints)
@@ -270,10 +270,10 @@ def cmd_train(args) -> None:
                       step_checkpoint_manager=step_mngr)
 
     if train_loader is None:
-        def train_loader():
-            epoch_seed[0] += 1
+        def train_loader(epoch):
             return make_loader(train_ds, cfg.batch_size, shuffle=True,
-                               seed=epoch_seed[0], text_features=train_tf)
+                               seed=cfg.seed + 1 + epoch,
+                               text_features=train_tf)
 
         def valid_loader():
             return make_loader(valid_ds, cfg.batch_size,
@@ -667,33 +667,54 @@ def cmd_mae_pretrain(args) -> None:
         lambda r, b: model.init(r, b, jax.random.PRNGKey(1))
     )(jax.random.PRNGKey(cfg.seed), init_img)
 
-    epoch_seed = [cfg.seed]
     train_store = valid_store = train_loader = valid_loader = None
     if cfg.device_data:
         (train_store, valid_store, train_loader,
-         valid_loader) = _device_data_setup(cfg, mesh, train_ds, valid_ds,
-                                            epoch_seed)
+         valid_loader) = _device_data_setup(cfg, mesh, train_ds, valid_ds)
 
     mngr = CheckpointManager(cfg.checkpoints)
+    step_mngr = None
+    if cfg.checkpoint_every_steps > 0:
+        from mae_clip_tpu.train.checkpoint import StepCheckpointManager
+        import os as _os
+        step_mngr = StepCheckpointManager(
+            _os.path.join(cfg.checkpoints, "steps"))
     writer = MetricWriter(cfg.logdir)
     trainer = Trainer(cfg, model, variables["params"], mesh=mesh,
                       checkpoint_manager=mngr, writer=writer,
                       progress=getattr(args, "progress", True),
                       objective="mae",
-                      train_store=train_store, valid_store=valid_store)
+                      train_store=train_store, valid_store=valid_store,
+                      step_checkpoint_manager=step_mngr)
 
     if train_loader is None:
-        def train_loader():
-            epoch_seed[0] += 1
+        def train_loader(epoch):
             return make_image_loader(train_ds, cfg.batch_size, shuffle=True,
-                                     seed=epoch_seed[0],
+                                     seed=cfg.seed + 1 + epoch,
                                      augment=args.augment and not device_aug)
 
         def valid_loader():
             return make_image_loader(valid_ds, cfg.batch_size)
 
-    history = trainer.fit(train_loader, valid_loader)
+    start_epoch, skip_batches = 0, 0
+    if getattr(args, "resume", False):
+        resumed_mid = False
+        if step_mngr is not None and step_mngr.latest_step() is not None:
+            meta = step_mngr.peek_meta()
+            done_epoch = mngr.latest_step()
+            if done_epoch is None or meta["epoch"] > done_epoch:
+                start_epoch, skip_batches = trainer.restore_mid_epoch()
+                resumed_mid = True
+        if not resumed_mid and mngr.latest_step() is not None:
+            start_epoch = trainer.restore() + 1
+        print(f"resumed: epoch {start_epoch}, batch {skip_batches}")
+
+    history = trainer.fit(train_loader, valid_loader,
+                          start_epoch=start_epoch,
+                          skip_batches=skip_batches)
     mngr.wait()
+    if step_mngr is not None:
+        step_mngr.wait()
     print(json.dumps({"final_train_loss": history["train_loss"][-1],
                       "final_valid_loss": history["valid_loss"][-1],
                       "best_valid_loss": trainer.best_loss}))
@@ -969,6 +990,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--images", required=True,
                    help="directory tree of images")
     p.add_argument("--val-fraction", type=float, default=0.05)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the checkpoints dir (newest mid-epoch "
+                        "step checkpoint or last completed epoch)")
     p.add_argument("--augment", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="RandomResizedCrop+flip (MAE-paper augmentation)")

@@ -333,3 +333,54 @@ def test_cli_train_with_device_augmentation(tmp_path, capsys):
     result = json_mod.loads(out.strip().splitlines()[-1])
     assert np.isfinite(result["final_train_loss"])
     assert np.isfinite(result["final_valid_loss"])
+
+
+def test_cli_train_resume_continues(tmp_path, capsys):
+    """`cli train --resume`: a finished 1-epoch run restarted with
+    epochs=2 restores the checkpoint and trains only the remaining epoch
+    (epoch-keyed loader factories make the shuffles deterministic)."""
+    import json as json_mod
+
+    import cv2
+    import numpy as np
+
+    data = tmp_path / "data"
+    img_dir = data / "Images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    rows = ["id,image,caption"]
+    for i in range(10):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8))
+        rows.append(f"{i},{name},a photo of thing {i % 3}")
+    (data / "captions.csv").write_text("\n".join(rows))
+
+    vocab = tmp_path / "vocab.txt"
+    cli.main(["build-vocab", str(data / "captions.csv"), str(vocab),
+              "--vocab-size", "64"])
+    capsys.readouterr()
+
+    run_dir = tmp_path / "run"
+    base = [
+        "train", "--captions-dir", str(data),
+        "--set", f"vocab_file={vocab}",
+        "--set", f"image_path={img_dir}",
+        "--set", "model_name=vit_s16", "--set", "image_embedding=384",
+        "--set", "batch_size=8", "--set", "size=32",
+        "--set", "max_length=12", "--set", "compute_dtype=float32",
+        "--set", "text_trainable=false",
+        "--set", "frozen_text_eval_mode=true",
+        "--set", "checkpoint_every_steps=2",
+        "--set", f"checkpoints={run_dir}",
+        "--set", f"logdir={tmp_path / 'logs'}",
+    ]
+    cli.main(base + ["--set", "epochs=1"])
+    out1 = capsys.readouterr().out
+    assert (run_dir / "steps").is_dir()      # rolling step checkpoints
+
+    cli.main(base + ["--set", "epochs=2", "--resume"])
+    out2 = capsys.readouterr().out
+    assert "resumed: epoch 1" in out2
+    result = json_mod.loads(out2.strip().splitlines()[-1])
+    assert np.isfinite(result["final_train_loss"])
