@@ -118,8 +118,10 @@ def _loss_extras(params) -> Dict[str, jax.Array]:
 def _prep_images(images, rng, train: bool, cfg: Config):
     """Device-side image preparation inside the jitted step.
 
-    * NHWC sources at a geometry LARGER than ``cfg.size`` (the
-      ``mae.aug_source_size`` staging convention) get a fresh
+    * uint8 NHWC sources at a geometry other than ``cfg.size`` (the
+      ``mae.aug_source_size`` staging convention — staged sources are
+      always uint8; float inputs at any geometry are treated as
+      already-preprocessed and pass through) get a fresh
       RandomResizedCrop+flip per train step (``ops/augment.py``) or a
       deterministic full-frame resize on eval, then ImageNet normalize —
       the host never re-decodes or re-crops (~30-50x on this container's
@@ -129,7 +131,8 @@ def _prep_images(images, rng, train: bool, cfg: Config):
       rides the VPU fused into the step.
     * Anything else (fp32 at model geometry) passes through untouched.
     """
-    if images.ndim == 4 and images.shape[1] != cfg.size:
+    if (images.ndim == 4 and images.dtype == jnp.uint8
+            and images.shape[1] != cfg.size):
         from mae_clip_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
         from mae_clip_tpu.ops.augment import (
             random_resized_crop_flip_batch, resize_batch)

@@ -776,6 +776,24 @@ def test_clip_step_device_side_augmentation():
                                   np.asarray(m2["loss"]))
 
 
+def test_prep_images_float_passthrough_any_geometry():
+    """Float inputs are already-preprocessed model inputs and must pass
+    through _prep_images UNTOUCHED at any geometry — only uint8 NHWC
+    sources (the aug staging convention) may be cropped/resized/renormalized.
+    Regression: a float batch at non-default geometry (parity tests feed
+    48x48 into a fully-convolutional ResNet with cfg.size=224) was being
+    routed through RandomResizedCrop + /255 + ImageNet normalize."""
+    from mae_clip_tpu.train.loop import _prep_images
+
+    cfg = tiny_cfg()                      # cfg.size == 16
+    imgs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 8, 8, 3)).astype(np.float32))
+    out = _prep_images(imgs, jax.random.PRNGKey(0), train=True, cfg=cfg)
+    assert out is imgs                    # identity, not just value-equal
+    out_eval = _prep_images(imgs, jax.random.PRNGKey(0), train=False, cfg=cfg)
+    assert out_eval is imgs
+
+
 def test_mid_epoch_step_checkpoint_resume_bit_identical(tmp_path):
     """checkpoint_every_steps: a run killed mid-epoch resumes from the
     rolling step checkpoint (restore_mid_epoch + fit(skip_batches)) and
