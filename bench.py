@@ -52,6 +52,28 @@ CACHED_TEXT = os.environ.get("BENCH_CACHED_TEXT", "1") == "1"
 LOSS = os.environ.get("BENCH_LOSS", "")
 
 
+def _calibrate_tflops(jax, jnp) -> float:
+    """Dependent 8192^3 bf16 matmul chain under value-fetch sync: the known
+    healthy rate on this chip is ~164 TFLOP/s and a degraded window ~111
+    (CLAUDE.md / BASELINE.md measurement protocol). Emitting it in the SAME
+    process/window makes the throughput number self-interpreting — a reader
+    can tell a degraded chip from a regression without git archaeology."""
+    x = jnp.ones((8192, 8192), jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        for _ in range(8):
+            x = x @ x / 8192.0
+        return x
+
+    y = chain(x)
+    float(y[0, 0])                     # warm + compile (true barrier)
+    t0 = time.perf_counter()
+    y = chain(y)                       # distinct input: no runtime cache
+    float(y[0, 0])
+    return 8 * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -184,6 +206,14 @@ def main() -> None:
     pairs_per_sec = BATCH / per_step
     tower = ("ResNet50" if cfg.model_name == "resnet50"
              else "ViT-S/16+MAE")
+    calib = None
+    if on_tpu and os.environ.get("BENCH_CALIB", "1") == "1":
+        # Self-calibration in the SAME process/window (BASELINE.md
+        # protocol): run AFTER the timed workload so the measurement
+        # reflects the window the throughput came from. ~1.1 s on a
+        # healthy chip; skip on CPU (minutes) or with BENCH_CALIB=0.
+        calib = _calibrate_tflops(jax, jnp)
+
     report = {
         "metric": "train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
@@ -194,6 +224,10 @@ def main() -> None:
         "vs_baseline": round(
             pairs_per_sec / TORCH_CPU_REFERENCE_PAIRS_PER_SEC, 2),
     }
+    if calib is not None:
+        # Chip-health context: healthy ~164 TFLOP/s on this part, degraded
+        # windows have measured ~111-120 (FLOP-bound workloads drop ~30%).
+        report["calib_tflops"] = round(calib, 1)
     if os.environ.get("BENCH_MFU", "0") == "1":
         # Hardware FLOP utilization from XLA's cost model (opt-in: the
         # lower+compile pass adds noticeable time on the remote tunnel).

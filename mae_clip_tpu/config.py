@@ -246,6 +246,17 @@ class Config:
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     global_contrastive: bool = True  # all-gather embeddings for global-batch loss
     loss_chunk_size: int = 0         # 0 = unchunked; >0 = blockwise global loss
+    # Gradient accumulation: split each global batch into this many
+    # microbatches scanned sequentially with ONE optimizer update
+    # (train.loop.make_train_step). >1 uses the GradCache two-pass recipe
+    # (Gao et al., arXiv:2101.06983): the contrastive loss — and the
+    # parameter grads — are EXACTLY those of the giant-batch step (the
+    # contrastive batch stays batch_size x mesh-global, NOT the
+    # microbatch), at ~1.5x step FLOPs but O(microbatch) activation
+    # memory. This is what makes the 32k recipe (BASELINE.json config 5)
+    # a true 32k x 32k objective on few chips. Requires batch_size %
+    # accum_steps == 0 and a BatchNorm-free tower (ViT, not resnet50).
+    accum_steps: int = 1
     # Inner optimizer for every trainable param group: "adamw" (the
     # reference's, main.py:101-103), "lamb" (layerwise trust-ratio AdamW,
     # arXiv:1904.00962 — the standard large-batch choice for the 32k
@@ -299,6 +310,19 @@ class Config:
             raise ValueError(f"unknown model_name {self.model_name!r}")
         if self.steps_per_call < 0:
             raise ValueError("steps_per_call must be >= 0")
+        if self.accum_steps < 1:
+            raise ValueError("accum_steps must be >= 1 (1 disables)")
+        if self.accum_steps > 1:
+            if self.batch_size % self.accum_steps:
+                raise ValueError(
+                    f"batch_size ({self.batch_size}) must be divisible by "
+                    f"accum_steps ({self.accum_steps}) — microbatches are "
+                    "equal static-shape slices")
+            if self.model_name == "resnet50":
+                raise ValueError(
+                    "accum_steps > 1 needs a BatchNorm-free tower: "
+                    "cross-microbatch BN stat merging is unimplemented — "
+                    "use a ViT image tower")
         if self.grad_clip_norm < 0:
             raise ValueError("grad_clip_norm must be >= 0 (0 disables)")
         if not 0.0 <= self.ema_decay < 1.0:
@@ -474,6 +498,10 @@ def large_batch_mesh_config(**kw: Any) -> Config:
         compute_dtype="bfloat16",
         global_contrastive=True,
         loss_chunk_size=4096,
+        # GradCache accumulation (see Config.accum_steps): 8 microbatches
+        # of 4096 per chip-step keep activation memory at microbatch scale
+        # while the contrastive objective stays the true 32k x 32k matrix.
+        accum_steps=8,
         remat=True,
         mesh=MeshConfig(data=-1, model=1),
         mae=MAEConfig(enabled=True),

@@ -25,11 +25,22 @@ from mae_clip_tpu.config import MeshConfig
 def maybe_initialize_distributed() -> None:
     """Initialize JAX distributed when launched multi-host (no-op otherwise).
 
-    Controlled by standard cluster env vars; safe to call unconditionally at
-    program start.
+    Triggered by ``JAX_COORDINATOR_ADDRESS``; safe to call unconditionally
+    at program start (before any device access). On recognized clusters
+    (SLURM/MPI/TPU pods) ``jax.distributed.initialize`` auto-detects
+    process count/id; on generic launches (docs/MULTIHOST.md, the
+    two-process proof in tests/test_two_process_distributed.py) those come
+    from ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``, which bare
+    ``initialize()`` does NOT read in current JAX — pass them explicitly.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    kw = {}
+    if os.environ.get("JAX_NUM_PROCESSES") is not None:
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID") is not None:
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
 
 
 def create_mesh(data: int = -1, model: int = 1,

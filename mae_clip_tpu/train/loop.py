@@ -604,11 +604,17 @@ class Trainer:
         self.state = TrainState.create(params, self.tx, rng, batch_stats,
                                        ema=cfg.ema_decay > 0)
         if objective == "mae":
+            if cfg.accum_steps > 1:
+                raise ValueError(
+                    "accum_steps > 1 is a contrastive-memory recipe "
+                    "(GradCache); MAE pretraining has no cross-microbatch "
+                    "coupling — lower batch_size instead")
             self.train_step = make_mae_pretrain_step(model, self.tx, cfg,
                                                      mesh)
             self.eval_step = make_mae_eval_step(model, cfg, mesh)
         else:
-            self.train_step = make_train_step(model, self.tx, cfg, mesh)
+            self.train_step = make_train_step(model, self.tx, cfg, mesh,
+                                              accum_steps=cfg.accum_steps)
             self.eval_step = make_eval_step(model, cfg, mesh)
         self.scheduler = ReduceLROnPlateau(cfg.patience, cfg.factor)
         self.checkpoint_manager = checkpoint_manager

@@ -384,3 +384,66 @@ def test_cli_train_resume_continues(tmp_path, capsys):
     assert "resumed: epoch 1" in out2
     result = json_mod.loads(out2.strip().splitlines()[-1])
     assert np.isfinite(result["final_train_loss"])
+
+
+def test_cli_train_large_batch_mesh_gradcache_equals_giant_batch(
+        tmp_path, capsys):
+    """The 32k recipe's GradCache accumulation is reachable from the
+    PRODUCTION path: `cli train --preset large_batch_mesh --set
+    accum_steps=2` (Config.accum_steps -> Trainer -> make_train_step) on
+    the 8-virtual-device mesh produces the same per-epoch losses as the
+    identical run with accum_steps=1 (the giant-batch step) — GradCache
+    accumulation is exact, not an approximation (arXiv:2101.06983;
+    reference loss at global batch: CLIP.py:34)."""
+    import json as json_mod
+
+    import cv2
+    import numpy as np
+
+    data = tmp_path / "data"
+    img_dir = data / "Images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    rows = ["id,image,caption"]
+    words = ["dog", "cat", "red", "ball", "runs", "sits"]
+    for i in range(20):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8))
+        rows.append(f"{i},{name},a photo of "
+                    + " ".join(rng.choice(words, size=3)))
+    (data / "captions.csv").write_text("\n".join(rows))
+
+    vocab = tmp_path / "vocab.txt"
+    cli.main(["build-vocab", str(data / "captions.csv"), str(vocab),
+              "--vocab-size", "64"])
+    capsys.readouterr()
+
+    def run(accum: int, tag: str):
+        cli.main([
+            "train", "--preset", "large_batch_mesh",
+            "--captions-dir", str(data),
+            "--set", f"vocab_file={vocab}",
+            "--set", f"image_path={img_dir}",
+            "--set", "batch_size=16", "--set", "epochs=2",
+            "--set", "size=32", "--set", "max_length=12",
+            "--set", "compute_dtype=float32", "--set", "dropout=0.0",
+            "--set", "loss_chunk_size=2",
+            "--set", "mae.decoder_dim=16", "--set", "mae.decoder_depth=1",
+            "--set", "mae.decoder_heads=2",
+            "--set", f"accum_steps={accum}",
+            "--set", f"checkpoints={tmp_path / tag / 'ckpt'}",
+            "--set", f"logdir={tmp_path / tag / 'logs'}",
+        ])
+        return json_mod.loads(capsys.readouterr().out.strip()
+                              .splitlines()[-1])
+
+    giant = run(1, "giant")
+    accum = run(2, "accum")
+    # Identical seed/batches/masking recipe and dropout=0: the two-pass
+    # GradCache step must reproduce the giant-batch trajectory (same
+    # optimizer updates), not merely converge similarly.
+    np.testing.assert_allclose(accum["final_train_loss"],
+                               giant["final_train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(accum["final_valid_loss"],
+                               giant["final_valid_loss"], rtol=1e-5)
