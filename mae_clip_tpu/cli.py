@@ -119,7 +119,8 @@ def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds,
         from mae_clip_tpu.data.device_store import (build_device_store,
                                                     make_index_loader)
         train_store = build_device_store(train_ds, text_features=train_tf)
-        valid_store = build_device_store(valid_ds, text_features=valid_tf)
+        valid_store = (build_device_store(valid_ds, text_features=valid_tf)
+                       if cfg.device_data_eval else None)
 
         def train_loader(epoch):
             return make_index_loader(len(train_ds), cfg.batch_size,
@@ -129,11 +130,29 @@ def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds,
         def valid_loader():
             return make_index_loader(len(valid_ds), cfg.batch_size)
 
+        if valid_store is None:
+            # device_data_eval=false: validation keeps the standard file
+            # loader (the valid store's HBM goes to training instead).
+            if hasattr(valid_ds, "captions"):
+                from mae_clip_tpu.data.pipeline import make_loader as _ml
+
+                def valid_loader():  # noqa: F811
+                    return _ml(valid_ds, cfg.batch_size,
+                               text_features=valid_tf)
+            else:                    # image-only (mae-pretrain) dataset
+                from mae_clip_tpu.data.pipeline import (
+                    make_image_loader as _mil)
+
+                def valid_loader():  # noqa: F811
+                    return _mil(valid_ds, cfg.batch_size)
+
     layout = "row-sharded over the mesh" if sharded else "replicated"
+    vbytes = valid_store.nbytes if valid_store is not None else 0
+    vcount = valid_store.n_real if valid_store is not None else 0
     print(f"device-resident data ({layout}): "
-          f"{(train_store.nbytes + valid_store.nbytes) / 2**20:.0f} MiB "
+          f"{(train_store.nbytes + vbytes) / 2**20:.0f} MiB "
           f"staged in HBM ({train_store.n_real} train + "
-          f"{valid_store.n_real} valid examples)")
+          f"{vcount} valid examples)")
     return train_store, valid_store, train_loader, valid_loader
 
 

@@ -203,6 +203,12 @@ class Config:
     # fit HBM (~150 KB/image at 224px uint8 patches). Implies the decode
     # cost is paid once, like cache_images, but in device memory.
     device_data: bool = False
+    # With device_data: also stage the VALIDATION set (True, default).
+    # False keeps validation on the standard file-loader path — frees the
+    # valid store's HBM for training (the train-rate path is what device
+    # staging exists for; at 100k-row scale the two stores plus no-remat
+    # activations exceed a single v5e's 16 GB).
+    device_data_eval: bool = True
     # Row-shard the device store over the mesh 'data' axis instead of
     # replicating it: each DP shard holds 1/D of the dataset, so stageable
     # capacity scales with mesh size. Batches come from blocked per-shard

@@ -43,26 +43,53 @@ import numpy as np
 
 
 class DeviceStore:
-    """Named (N, ...) device arrays + a jitted batch gather."""
+    """Named (N, ...) device arrays + a jitted batch gather.
 
-    def __init__(self, arrays: Dict[str, "jax.Array"]):
+    ``maps`` enables DEDUPED staging: ``maps[k]`` is an (N,) int32
+    row->storage-index table and ``arrays[k]`` holds only the UNIQUE
+    storage rows — the gather for key ``k`` becomes a two-level take
+    (``arrays[k][maps[k][indices]]``). Caption datasets repeat each image
+    once per caption (reference coco_captions_to_df.py:17-25: 5 COCO
+    captions/image), so deduping the image array cuts staged HBM ~5x on
+    COCO-shaped data with bit-identical batches. Map tables live inside
+    ``self.arrays`` under reserved ``"_map:"``-prefixed keys so they ride
+    through jit argument trees (the Trainer superstep passes
+    ``store.arrays`` straight into its scan).
+    """
+
+    MAP_PREFIX = "_map:"
+
+    def __init__(self, arrays: Dict[str, "jax.Array"],
+                 maps: Optional[Dict[str, "np.ndarray"]] = None):
         import jax
         import jax.numpy as jnp
 
         if not arrays:
             raise ValueError("DeviceStore needs at least one array")
-        ns = {k: int(v.shape[0]) for k, v in arrays.items()}
+        arrays = dict(arrays)
+        for k, m in (maps or {}).items():
+            if k not in arrays:
+                raise ValueError(f"map for unknown array {k!r}")
+            arrays[self.MAP_PREFIX + k] = jnp.asarray(m, jnp.int32)
+        # Row count N comes from unmapped arrays + map tables (all must
+        # agree); mapped arrays' own leading dim is their unique count.
+        mapped = {k[len(self.MAP_PREFIX):] for k in arrays
+                  if k.startswith(self.MAP_PREFIX)}
+        ns = {k: int(v.shape[0]) for k, v in arrays.items()
+              if k not in mapped}
         if len(set(ns.values())) != 1:
             raise ValueError(f"inconsistent leading dims: {ns}")
         self.arrays = arrays
         self.n = next(iter(ns.values()))
         self.n_real = self.n      # sharded stores pad; see subclass
 
-        def gather(arrays, indices):
-            return {k: jnp.take(v, indices, axis=0)
-                    for k, v in arrays.items()}
-
-        self._gather = jax.jit(gather)
+        # Bind the BASE gather explicitly: subclasses override
+        # traced_gather with layout-constrained hot paths (ShardedDevice-
+        # Store's collective-free blocked gather), but the eager .gather
+        # must keep accepting arbitrary indices.
+        self._gather = jax.jit(
+            lambda arrays, indices:
+            DeviceStore.traced_gather(self, arrays, indices))
 
     @property
     def nbytes(self) -> int:
@@ -79,7 +106,15 @@ class DeviceStore:
         the caller's argument tree so donation/sharding inference sees it."""
         import jax.numpy as jnp
 
-        return {k: jnp.take(v, indices, axis=0) for k, v in arrays.items()}
+        out = {}
+        for k, v in arrays.items():
+            if k.startswith(self.MAP_PREFIX):
+                continue
+            mk = self.MAP_PREFIX + k
+            idx = (jnp.take(arrays[mk], indices, axis=0) if mk in arrays
+                   else indices)
+            out[k] = jnp.take(v, idx, axis=0)
+        return out
 
 
 def _upload_chunked(big: np.ndarray, chunk_rows: int,
@@ -124,7 +159,8 @@ def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
                        images: Optional[np.ndarray] = None,
                        num_threads: int = 8,
                        chunk_bytes: int = 128 * 1024 * 1024,
-                       sharding=None) -> DeviceStore:
+                       sharding=None,
+                       dedup_images: bool = True) -> DeviceStore:
     """Decode the whole dataset once (thread pool; respects the dataset's
     native fast path and host cache) and stage it in device memory.
 
@@ -133,9 +169,29 @@ def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
     frozen-text layout (no token ids on device — the tower is skipped).
     ``images``: preloaded (N, ...) array bypassing file decode (tests,
     synthetic data).
+
+    ``dedup_images`` (default on): caption datasets carry one ROW per
+    caption with the image repeated (reference coco_captions_to_df.py:
+    17-25), so the store stages each unique image file ONCE plus an (N,)
+    row->image map — staged HBM drops by the duplication factor (5x on
+    COCO, 2x on Flickr8k/synth) with bit-identical gathers. Applies when
+    ``dataset`` exposes ``image_filenames`` and images aren't preloaded.
     """
+    maps = None
     if images is None:
-        images = _decode_all(dataset, num_threads)
+        fnames = getattr(dataset, "image_filenames", None)
+        if dedup_images and fnames is not None:
+            fnames = np.asarray(fnames)
+            uniq, first_rows, inverse = np.unique(
+                fnames, return_index=True, return_inverse=True)
+            if len(uniq) < len(fnames):
+                import concurrent.futures as cf
+                with cf.ThreadPoolExecutor(max_workers=num_threads) as p:
+                    images = np.stack(list(p.map(
+                        dataset.load_image, first_rows.tolist())))
+                maps = {"image": inverse.astype(np.int32)}
+        if images is None:
+            images = _decode_all(dataset, num_threads)
     per_row = int(np.prod(images.shape[1:])) * images.dtype.itemsize
     rows = max(1, chunk_bytes // max(per_row, 1))
     arrays = {"image": _upload_chunked(images, rows, sharding)}
@@ -147,7 +203,7 @@ def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
             dataset.input_ids, len(dataset.input_ids), sharding)
         arrays["attention_mask"] = _upload_chunked(
             dataset.attention_mask, len(dataset.attention_mask), sharding)
-    return DeviceStore(arrays)
+    return DeviceStore(arrays, maps=maps)
 
 
 class ShardedDeviceStore(DeviceStore):

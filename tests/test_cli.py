@@ -447,3 +447,51 @@ def test_cli_train_large_batch_mesh_gradcache_equals_giant_batch(
                                giant["final_train_loss"], rtol=1e-5)
     np.testing.assert_allclose(accum["final_valid_loss"],
                                giant["final_valid_loss"], rtol=1e-5)
+
+
+def test_cli_train_device_data_without_valid_store(tmp_path, capsys):
+    """`device_data_eval=false`: train runs from the HBM store, validation
+    from the file loader (frees the valid store's HBM at 100k-row scale),
+    and the deduped image staging reports fewer staged bytes than rows."""
+    import json as json_mod
+
+    import cv2
+    import numpy as np
+
+    data = tmp_path / "data"
+    img_dir = data / "Images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(4)
+    rows = ["id,image,caption"]
+    # 6 unique images x 2 captions each = 12 rows (dedup territory).
+    for i in range(6):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8))
+        rows.append(f"{2*i},{name},a photo of thing {i}")
+        rows.append(f"{2*i+1},{name},picture number {i}")
+    (data / "captions.csv").write_text("\n".join(rows))
+
+    vocab = tmp_path / "vocab.txt"
+    cli.main(["build-vocab", str(data / "captions.csv"), str(vocab),
+              "--vocab-size", "64"])
+    capsys.readouterr()
+
+    run_dir = tmp_path / "run"
+    cli.main([
+        "train", "--captions-dir", str(data),
+        "--set", f"vocab_file={vocab}",
+        "--set", f"image_path={img_dir}",
+        "--set", "model_name=vit_s16", "--set", "image_embedding=384",
+        "--set", "batch_size=8", "--set", "epochs=1", "--set", "size=32",
+        "--set", "max_length=12", "--set", "compute_dtype=float32",
+        "--set", "device_data=true", "--set", "device_data_eval=false",
+        "--set", "steps_per_call=2",
+        "--set", f"checkpoints={run_dir}",
+        "--set", f"logdir={tmp_path / 'logs'}",
+    ])
+    out = capsys.readouterr().out
+    assert "0 valid examples" in out          # valid store not staged
+    result = json_mod.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(result["final_train_loss"])
+    assert np.isfinite(result["final_valid_loss"])   # file-loader valid

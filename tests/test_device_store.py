@@ -394,3 +394,84 @@ def test_sharded_index_loader_fewer_rows_than_shards():
     assert sorted(b["indices"][b["valid"]].tolist()) == [0, 1, 2]
     assert b["valid"].sum() == 3
     assert (b["indices"] >= 0).all() and (b["indices"] < 8).all()
+
+
+def test_deduped_store_gather_and_memory():
+    """Deduped staging (caption datasets repeat each image per caption,
+    reference coco_captions_to_df.py:17-25): unique images staged once +
+    an (N,) row->image map; gathers are bit-identical to the duplicated
+    store at a fraction of the staged bytes."""
+
+    class CaptionsDS:
+        # 3 unique images across 7 rows (COCO-style repetition).
+        image_filenames = ["a.jpg", "b.jpg", "a.jpg", "c.jpg", "b.jpg",
+                           "a.jpg", "c.jpg"]
+        input_ids = np.arange(14, dtype=np.int32).reshape(7, 2)
+        attention_mask = np.ones((7, 2), np.int32)
+
+        def __len__(self):
+            return 7
+
+        def load_image(self, i):
+            # Image content determined by the FILE, not the row.
+            val = {"a.jpg": 10, "b.jpg": 20, "c.jpg": 30}[
+                self.image_filenames[i]]
+            return np.full((4, 4, 3), val, np.uint8)
+
+    ds = CaptionsDS()
+    dedup = build_device_store(ds)
+    dup = build_device_store(ds, dedup_images=False)
+
+    assert dup.arrays["image"].shape[0] == 7
+    assert dedup.arrays["image"].shape[0] == 3          # unique files
+    assert DeviceStore.MAP_PREFIX + "image" in dedup.arrays
+    assert dedup.n == dup.n == 7
+    assert dedup.nbytes < dup.nbytes
+
+    idx = jnp.asarray(np.array([6, 0, 2, 5], np.int32))
+    a, b = dedup.gather(idx), dup.gather(idx)
+    assert set(a) == set(b) == {"image", "input_ids", "attention_mask"}
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+
+def test_deduped_store_trains_identically_through_superstep():
+    """A Trainer epoch over the deduped store (map riding through the
+    in-scan traced_gather) bit-matches the duplicated store."""
+    n_imgs, reps = 4, 3
+    n = n_imgs * reps                                    # 12 rows
+    rng = np.random.default_rng(11)
+    uniq = rng.normal(size=(n_imgs, 16, 16, 3)).astype(np.float32)
+    row_map = np.tile(np.arange(n_imgs, dtype=np.int32), reps)
+    ids = rng.integers(0, 64, size=(n, 12)).astype(np.int32)
+    mask = np.ones((n, 12), np.int32)
+
+    dup_store = DeviceStore({"image": jnp.asarray(uniq[row_map]),
+                             "input_ids": jnp.asarray(ids),
+                             "attention_mask": jnp.asarray(mask)})
+    ded_store = DeviceStore({"image": jnp.asarray(uniq),
+                             "input_ids": jnp.asarray(ids),
+                             "attention_mask": jnp.asarray(mask)},
+                            maps={"image": row_map})
+    assert ded_store.n == dup_store.n == n
+
+    cfg = tiny_cfg(batch_size=4, epochs=1, steps_per_call=2)
+    model, variables, _ = build(cfg)
+    params0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    results = []
+    for store in (dup_store, ded_store):
+        t = Trainer(cfg, model,
+                    jax.tree_util.tree_map(jnp.asarray, params0),
+                    train_store=store, valid_store=store)
+        assert t._superstep_k(train=True) == 2
+        m = t.train_epoch(make_index_loader(n, 4, shuffle=True, seed=5))
+        results.append((m, t.state))
+
+    (m1, s1), (m2, s2) = results
+    assert m1.count == m2.count == n
+    assert np.isclose(m1.avg, m2.avg, rtol=0, atol=0), (m1.avg, m2.avg)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
