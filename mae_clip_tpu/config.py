@@ -179,7 +179,9 @@ class Config:
     # "auto" engages on TPU when the geometry qualifies (head_dim % 128
     # == 0, dropout-free blocks — the flagship recipe); canonical
     # timm/HF geometries and CPU keep the per-block XLA path. "off"
-    # forces XLA; "on" forces the kernel (tests).
+    # forces XLA; "on" forces the kernel (tests); "fwd" = Pallas forward
+    # + XLA-autodiff remat backward (the round-3 second fusion strategy,
+    # measured for the floor claim — see BASELINE.md).
     # Default "off": at b256 the first implementation measured SLOWER
     # than XLA (3.8k vs 9.7k pairs/s — per-program overhead across the
     # (L, B/G) grid dominates at these small tile sizes); flip to "auto"
@@ -310,7 +312,7 @@ class Config:
             raise ValueError(f"unknown gelu_impl {self.gelu_impl!r}")
         if self.use_pallas not in ("auto", "always", "never"):
             raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
-        if self.fused_blocks not in ("auto", "on", "off"):
+        if self.fused_blocks not in ("auto", "on", "off", "fwd"):
             raise ValueError(f"unknown fused_blocks {self.fused_blocks!r}")
         if self.model_name not in ("resnet50", "vit_s16", "vit_b16"):
             raise ValueError(f"unknown model_name {self.model_name!r}")

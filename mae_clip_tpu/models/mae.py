@@ -277,12 +277,14 @@ class MAEViT(nn.Module):
                  + pe_masked).astype(y.dtype)
             if _use_fused_blocks(self.block_impl, self.dec_cfg,
                                  self.is_initializing()):
-                from mae_clip_tpu.ops.block_kernel import fused_block_stack
+                from mae_clip_tpu.ops.block_kernel import (
+                    fused_block_stack, fused_block_stack_fwd_xla_bwd)
+                fn = (fused_block_stack_fwd_xla_bwd
+                      if self.block_impl == "fwd" else fused_block_stack)
                 w = collect_cross_block_weights(self.decoder_blocks,
                                                 self.dtype)
-                q = fused_block_stack(q, kv, w, self.dec_cfg.n_heads,
-                                      self.dec_cfg.gelu, True,
-                                      self.attn_interpret)
+                q = fn(q, kv, w, self.dec_cfg.n_heads,
+                       self.dec_cfg.gelu, True, self.attn_interpret)
             else:
                 for block in self.decoder_blocks:
                     q = block(q, kv, deterministic)

@@ -176,7 +176,7 @@ def _use_fused_blocks(block_impl: str, cfg: ViTConfig,
         return False
     if cfg.dropout != 0.0 or cfg.gelu not in ("erf", "tanh"):
         return False
-    if block_impl == "on":
+    if block_impl in ("on", "fwd"):
         return True
     import jax as _jax
     return block_impl == "auto" and _jax.default_backend() == "tpu"
@@ -222,10 +222,14 @@ def run_self_blocks(blocks, x: jax.Array, cfg: ViTConfig, block_impl: str,
     is applied at block CONSTRUCTION (nn.remat in the encoders' setup),
     not here."""
     if _use_fused_blocks(block_impl, cfg, is_initializing):
-        from mae_clip_tpu.ops.block_kernel import fused_block_stack
+        from mae_clip_tpu.ops.block_kernel import (
+            fused_block_stack, fused_block_stack_fwd_xla_bwd)
+        # "fwd" = Pallas forward + XLA-autodiff remat backward (the
+        # round-3 second fusion strategy; see block_kernel.py).
+        fn = (fused_block_stack_fwd_xla_bwd if block_impl == "fwd"
+              else fused_block_stack)
         w = collect_self_block_weights(blocks, cfg.dim, dtype)
-        return fused_block_stack(x, x, w, cfg.n_heads, cfg.gelu,
-                                 False, interpret)
+        return fn(x, x, w, cfg.n_heads, cfg.gelu, False, interpret)
     for block in blocks:
         x = block(x, deterministic)
     return x

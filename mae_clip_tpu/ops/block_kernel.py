@@ -580,3 +580,97 @@ def _fbs_bwd(n_heads, gelu, cross, interpret, residuals, dout):
 
 
 fused_block_stack.defvjp(_fbs_fwd, _fbs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Forward-only fusion: Pallas forward, XLA-autodiff (remat) backward.
+#
+# Round-2 measured the full Pallas fwd+bwd stack LOSING to XLA end-to-end
+# (33.1 vs 26.6 ms/step at b256): the remat-per-block Pallas backward pays
+# +33% FLOPs at MXU efficiency comparable to XLA's, so the recompute can
+# never be won back (BASELINE.md "Fused Pallas block-stack kernels"). This
+# variant isolates the OTHER half of the hypothesis: keep the fused Pallas
+# forward (weights VMEM-resident across the batch sweep) but hand the
+# backward to XLA — each block's backward recomputes its forward in plain
+# XLA from the saved per-block residual-stream input (qstack), then
+# autodiffs. Same +1 recompute FLOP profile as the full-Pallas remat
+# backward, but at XLA's fusion quality. If THIS also loses, both fusion
+# strategies are measured out and the 26.5 ms XLA floor claim is
+# two-legged.
+# ---------------------------------------------------------------------------
+
+def _xla_block(x, kv, wl, n_heads: int, gelu: str, cross: bool):
+    """One pre-LN block in plain jnp — the kernel's exact math (fp32 LN
+    stats + fp32 softmax + packed wkv), used by the fwd-only backward."""
+
+    def ln(y, g, b):
+        yf = y.astype(jnp.float32)
+        mu = yf.mean(-1, keepdims=True)
+        var = ((yf - mu) ** 2).mean(-1, keepdims=True)
+        return ((yf - mu) * jax.lax.rsqrt(var + _LN_EPS) * g + b
+                ).astype(y.dtype)
+
+    d = x.shape[-1]
+    dh = d // n_heads
+    h = ln(x, wl["ln1_g"], wl["ln1_b"])
+    kvh = ln(kv, wl["lnkv_g"], wl["lnkv_b"]) if cross else h
+    qp = h @ wl["wq"] + wl["bq"]
+    kvp = kvh @ wl["wkv"] + wl["bkv"]
+    b_, sq, _ = qp.shape
+    sk = kvp.shape[1]
+    q = qp.reshape(b_, sq, n_heads, dh).transpose(0, 2, 1, 3)
+    k = kvp[..., :d].reshape(b_, sk, n_heads, dh).transpose(0, 2, 1, 3)
+    v = kvp[..., d:].reshape(b_, sk, n_heads, dh).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(dh))
+    p = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b_, sq, d)
+    x = x + ctx @ wl["wproj"] + wl["bproj"]
+    h2 = ln(x, wl["ln2_g"], wl["ln2_b"])
+    a = h2 @ wl["wfc1"] + wl["bfc1"]
+    a = jax.nn.gelu(a, approximate=(gelu == "tanh"))
+    return x + a @ wl["wfc2"] + wl["bfc2"]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_block_stack_fwd_xla_bwd(q0, kv, w, n_heads, gelu="tanh",
+                                  cross=True, interpret=False):
+    """``fused_block_stack`` with an XLA-autodiff backward (see above)."""
+    out, _ = _stack_forward(q0, kv, w, n_heads, gelu, cross, interpret)
+    return out
+
+
+def _fbsx_fwd(q0, kv, w, n_heads, gelu, cross, interpret):
+    out, qstack = _stack_forward(q0, kv, w, n_heads, gelu, cross, interpret)
+    # qstack: (L, nb, G, sq_p, D) per-block padded inputs -> (L, B, Sq, D).
+    b, sq, d = q0.shape
+    n_blocks = w["wq"].shape[0]
+    qstack = qstack.reshape(n_blocks, b, -1, d)[:, :, :sq, :]
+    return out, (qstack, kv, w)
+
+
+def _fbsx_bwd(n_heads, gelu, cross, interpret, residuals, dout):
+    qstack, kv, w = residuals
+    n_blocks = w["wq"].shape[0]
+    dq = dout
+    dkv = jnp.zeros_like(kv)
+    dws = []
+    for l in reversed(range(n_blocks)):
+        _, vjp_fn = jax.vjp(
+            lambda x, kv_, wl: _xla_block(x, kv_, wl, n_heads, gelu, cross),
+            qstack[l], kv, {k: v[l] for k, v in w.items()})
+        dq, dkv_l, dw_l = vjp_fn(dq)
+        if cross:
+            dkv = dkv + dkv_l
+        dws.append(dw_l)
+    dws.reverse()
+    dw = {k: jnp.stack([dws[l][k] for l in range(n_blocks)])
+          for k in w}
+    if not cross:
+        # Self-attention callers pass kv=q0; its cotangent is declared
+        # zero (all flow rides dq), matching fused_block_stack's contract.
+        dkv = jnp.zeros_like(kv)
+    return dq, dkv, dw
+
+
+fused_block_stack_fwd_xla_bwd.defvjp(_fbsx_fwd, _fbsx_bwd)

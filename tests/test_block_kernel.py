@@ -198,3 +198,43 @@ def test_mae_cross_decoder_fused_matches_xla():
             [p for p, _ in jax.tree_util.tree_leaves_with_path(g_ref)]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-3, err_msg=str(path))
+
+
+@pytest.mark.parametrize("cross", [True, False], ids=["cross", "self"])
+def test_fwd_only_fused_stack_matches_reference_values_and_grads(cross):
+    """fused_block_stack_fwd_xla_bwd (Pallas forward + XLA-autodiff remat
+    backward — the round-3 second fusion strategy): values match the
+    Pallas forward exactly and gradients match the pure-jnp reference."""
+    from mae_clip_tpu.ops.block_kernel import fused_block_stack_fwd_xla_bwd
+
+    n_blocks, b, sq, sk, d, f, h = 3, 4, 19, 13, 256, 512, 2
+    rng = np.random.default_rng(2)
+    w = _make_w(n_blocks, d, f, rng)
+    q0 = jnp.asarray(rng.normal(size=(b, sq, d)).astype(np.float32))
+    kv = (jnp.asarray(rng.normal(size=(b, sk, d)).astype(np.float32))
+          if cross else q0)
+
+    out_ref = _ref_stack(q0, kv, w, h, "tanh", cross)
+    out = fused_block_stack_fwd_xla_bwd(q0, kv, w, h, "tanh", cross, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss(fn):
+        return lambda q0, kv, w: jnp.sum(jnp.sin(fn(q0, kv, w)))
+
+    g_ref = jax.grad(loss(lambda q, k, ww: _ref_stack(q, k, ww, h, "tanh",
+                                                      cross)),
+                     argnums=(0, 1, 2))(q0, kv, w)
+    g = jax.grad(loss(lambda q, k, ww: fused_block_stack_fwd_xla_bwd(
+        q, k, ww, h, "tanh", cross, True)), argnums=(0, 1, 2))(q0, kv, w)
+
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g_ref[0]),
+                               atol=5e-4, rtol=1e-3)
+    if cross:
+        np.testing.assert_allclose(np.asarray(g[1]), np.asarray(g_ref[1]),
+                                   atol=5e-4, rtol=1e-3)
+    for k in _W_KEYS:
+        scale = float(np.abs(np.asarray(g_ref[2][k])).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(g[2][k]) / scale, np.asarray(g_ref[2][k]) / scale,
+            atol=2e-5, err_msg=k)
