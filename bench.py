@@ -52,28 +52,6 @@ CACHED_TEXT = os.environ.get("BENCH_CACHED_TEXT", "1") == "1"
 LOSS = os.environ.get("BENCH_LOSS", "")
 
 
-def _calibrate_tflops(jax, jnp) -> float:
-    """Dependent 8192^3 bf16 matmul chain under value-fetch sync: the known
-    healthy rate on this chip is ~164 TFLOP/s and a degraded window ~111
-    (CLAUDE.md / BASELINE.md measurement protocol). Emitting it in the SAME
-    process/window makes the throughput number self-interpreting — a reader
-    can tell a degraded chip from a regression without git archaeology."""
-    x = jnp.ones((8192, 8192), jnp.bfloat16)
-
-    @jax.jit
-    def chain(x):
-        for _ in range(8):
-            x = x @ x / 8192.0
-        return x
-
-    y = chain(x)
-    float(y[0, 0])                     # warm + compile (true barrier)
-    t0 = time.perf_counter()
-    y = chain(y)                       # distinct input: no runtime cache
-    float(y[0, 0])
-    return 8 * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
-
-
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -210,9 +188,13 @@ def main() -> None:
     if on_tpu and os.environ.get("BENCH_CALIB", "1") == "1":
         # Self-calibration in the SAME process/window (BASELINE.md
         # protocol): run AFTER the timed workload so the measurement
-        # reflects the window the throughput came from. ~1.1 s on a
-        # healthy chip; skip on CPU (minutes) or with BENCH_CALIB=0.
-        calib = _calibrate_tflops(jax, jnp)
+        # reflects the window the throughput came from. Fetch-cancelled
+        # median-of-slopes chain (utils/calibrate.py — the round-3
+        # methodology fix: single-chain timings absorbed 30-80 ms of
+        # tunnel fetch latency and misread a healthy chip as degraded).
+        # ~3-4 s; skip on CPU (minutes) or with BENCH_CALIB=0.
+        from mae_clip_tpu.utils.calibrate import calibrate_tflops
+        calib = calibrate_tflops()
 
     report = {
         "metric": "train_pairs_per_sec_per_chip",
@@ -225,8 +207,8 @@ def main() -> None:
             pairs_per_sec / TORCH_CPU_REFERENCE_PAIRS_PER_SEC, 2),
     }
     if calib is not None:
-        # Chip-health context: healthy ~164 TFLOP/s on this part, degraded
-        # windows have measured ~111-120 (FLOP-bound workloads drop ~30%).
+        # Chip-health context: the fetch-cancelled chain sustains
+        # ~183-191 TFLOP/s (~94% of the 197 bf16 peak) on a healthy chip.
         report["calib_tflops"] = round(calib, 1)
     if os.environ.get("BENCH_MFU", "0") == "1":
         # Hardware FLOP utilization from XLA's cost model (opt-in: the

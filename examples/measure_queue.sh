@@ -21,20 +21,8 @@ run() { # name, then command...
 
 # 0. Calibration: dependent bf16 8192^3 matmul chain, healthy ~164 TFLOP/s
 #    (degraded windows have measured ~111; see CLAUDE.md).
-run calibration python - <<'EOF'
-import time, jax, jax.numpy as jnp
-x = jnp.ones((8192, 8192), jnp.bfloat16)
-@jax.jit
-def chain(x):
-    for _ in range(8):
-        x = x @ x / 8192.0
-    return x
-y = chain(x); float(y[0, 0])          # warm + compile
-t0 = time.perf_counter()
-y = chain(y); float(y[0, 0])          # distinct input: no runtime cache
-dt = time.perf_counter() - t0
-print(f"calibration: {8*2*8192**3/dt/1e12:.1f} TFLOP/s")
-EOF
+run calibration env PYTHONPATH=/root/repo:/root/.axon_site \
+  python -c "from mae_clip_tpu.utils.calibrate import main; main()"
 
 # 1. Headline re-run (flagship, cached text, b256) x2 fresh processes.
 run headline_a python bench.py

@@ -12,20 +12,12 @@ mkdir -p "$OUT"
 cd /root/repo
 
 cal() {
-  timeout 300 python - <<'EOF'
-import time, jax, jax.numpy as jnp
-x = jnp.ones((8192, 8192), jnp.bfloat16)
-@jax.jit
-def chain(x):
-    for _ in range(8):
-        x = x @ x / 8192.0
-    return x
-y = chain(x); float(y[0, 0])
-t0 = time.perf_counter()
-y = chain(y); float(y[0, 0])
-dt = time.perf_counter() - t0
-print(f"calibration: {8*2*8192**3/dt/1e12:.1f} TFLOP/s")
-EOF
+  # Fetch-cancelled median-of-slopes chain (utils/calibrate.py): the
+  # round-3 methodology fix -- single-chain timings absorbed 30-80 ms of
+  # tunnel fetch latency and misread a healthy chip (~186 TFLOP/s
+  # sustained) as degraded (110-120).
+  timeout 300 env PYTHONPATH=/root/repo:/root/.axon_site \
+    python -c "from mae_clip_tpu.utils.calibrate import main; main()"
 }
 
 cal 2>&1 | grep calibration | tee "$OUT/cal_start.log"

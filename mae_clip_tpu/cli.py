@@ -103,8 +103,9 @@ def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds,
             build_sharded_device_store, make_sharded_index_loader)
         train_store = build_sharded_device_store(
             train_ds, mesh=mesh, text_features=train_tf)
-        valid_store = build_sharded_device_store(
+        valid_store = (build_sharded_device_store(
             valid_ds, mesh=mesh, text_features=valid_tf)
+            if cfg.device_data_eval else None)
         n_shards = mesh.shape[cfg.mesh.axis_names[0]]
 
         def train_loader(epoch):
@@ -130,21 +131,21 @@ def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds,
         def valid_loader():
             return make_index_loader(len(valid_ds), cfg.batch_size)
 
-        if valid_store is None:
-            # device_data_eval=false: validation keeps the standard file
-            # loader (the valid store's HBM goes to training instead).
-            if hasattr(valid_ds, "captions"):
-                from mae_clip_tpu.data.pipeline import make_loader as _ml
+    if valid_store is None:
+        # device_data_eval=false: validation keeps the standard file
+        # loader (the valid store's HBM goes to training instead).
+        if hasattr(valid_ds, "captions"):
+            from mae_clip_tpu.data.pipeline import make_loader as _ml
 
-                def valid_loader():  # noqa: F811
-                    return _ml(valid_ds, cfg.batch_size,
-                               text_features=valid_tf)
-            else:                    # image-only (mae-pretrain) dataset
-                from mae_clip_tpu.data.pipeline import (
-                    make_image_loader as _mil)
+            def valid_loader():  # noqa: F811
+                return _ml(valid_ds, cfg.batch_size,
+                           text_features=valid_tf)
+        else:                    # image-only (mae-pretrain) dataset
+            from mae_clip_tpu.data.pipeline import (
+                make_image_loader as _mil)
 
-                def valid_loader():  # noqa: F811
-                    return _mil(valid_ds, cfg.batch_size)
+            def valid_loader():  # noqa: F811
+                return _mil(valid_ds, cfg.batch_size)
 
     layout = "row-sharded over the mesh" if sharded else "replicated"
     vbytes = valid_store.nbytes if valid_store is not None else 0

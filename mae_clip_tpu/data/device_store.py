@@ -145,14 +145,15 @@ def _upload_chunked(big: np.ndarray, chunk_rows: int,
     return buf
 
 
-def _decode_all(dataset, num_threads: int) -> np.ndarray:
-    """Thread-pool decode of every image in ``dataset`` (respects its
-    native fast path and host cache) into one stacked array."""
+def _decode_all(dataset, num_threads: int, rows=None) -> np.ndarray:
+    """Thread-pool decode of ``dataset`` images (``rows``: a row subset;
+    default all) into one stacked array. Respects the dataset's native
+    fast path and host cache."""
     import concurrent.futures as cf
 
+    rows = range(len(dataset)) if rows is None else list(rows)
     with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
-        return np.stack(list(pool.map(dataset.load_image,
-                                      range(len(dataset)))))
+        return np.stack(list(pool.map(dataset.load_image, rows)))
 
 
 def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
@@ -185,10 +186,8 @@ def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
             uniq, first_rows, inverse = np.unique(
                 fnames, return_index=True, return_inverse=True)
             if len(uniq) < len(fnames):
-                import concurrent.futures as cf
-                with cf.ThreadPoolExecutor(max_workers=num_threads) as p:
-                    images = np.stack(list(p.map(
-                        dataset.load_image, first_rows.tolist())))
+                images = _decode_all(dataset, num_threads,
+                                     rows=first_rows.tolist())
                 maps = {"image": inverse.astype(np.int32)}
         if images is None:
             images = _decode_all(dataset, num_threads)

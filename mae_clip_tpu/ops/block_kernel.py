@@ -601,14 +601,12 @@ fused_block_stack.defvjp(_fbs_fwd, _fbs_bwd)
 
 def _xla_block(x, kv, wl, n_heads: int, gelu: str, cross: bool):
     """One pre-LN block in plain jnp — the kernel's exact math (fp32 LN
-    stats + fp32 softmax + packed wkv), used by the fwd-only backward."""
+    stats + fp32 softmax + packed wkv), used by the fwd-only backward.
+    LayerNorm math is shared with the kernel (_layernorm_fwd) so the
+    recompute can never desynchronize from the Pallas forward."""
 
     def ln(y, g, b):
-        yf = y.astype(jnp.float32)
-        mu = yf.mean(-1, keepdims=True)
-        var = ((yf - mu) ** 2).mean(-1, keepdims=True)
-        return ((yf - mu) * jax.lax.rsqrt(var + _LN_EPS) * g + b
-                ).astype(y.dtype)
+        return _layernorm_fwd(y, g, b)[0]
 
     d = x.shape[-1]
     dh = d // n_heads

@@ -107,3 +107,13 @@ def test_throughput_stop_freezes_window():
     tp.start()                                     # next epoch resets
     tp.update(10)
     assert tp.examples_per_sec != frozen
+
+
+def test_calibrate_tflops_smoke_cpu():
+    """Measurement utility sanity (tiny n on CPU): positive, finite, and
+    robust to constant per-call overhead by construction (median of
+    pairwise slopes across chain lengths discards the intercept)."""
+    from mae_clip_tpu.utils.calibrate import calibrate_tflops
+
+    rate = calibrate_tflops(lengths=(1, 3, 5), repeats=2, n=128)
+    assert rate > 0 and rate < 1e3          # finite, sane on CPU
