@@ -22,8 +22,8 @@ from typing import List, Optional
 from mae_clip_tpu.config import Config
 
 
-_PRESETS = ("reference_py", "notebook", "flagship_tpu", "mae_pretrain",
-            "coco_full", "large_batch_mesh")
+_PRESETS = ("reference_py", "notebook", "flagship_tpu", "flagship_siglip",
+            "mae_pretrain", "coco_full", "large_batch_mesh")
 
 
 def _add_config_args(p: argparse.ArgumentParser) -> None:

@@ -462,6 +462,20 @@ def flagship_tpu_config(**kw: Any) -> Config:
     return base.replace(**kw)
 
 
+def flagship_siglip_config(**kw: Any) -> Config:
+    """The flagship recipe with the SigLIP objective — the recommended
+    from-scratch configuration: per the round-3 measurements it costs the
+    same per step as the reference softmax objective (interleaved A/B,
+    BASELINE.md) and dominates it on every synth32k quality metric
+    (zero-shot 0.773 vs 0.214, t2i recall@5 0.672 vs 0.363;
+    results/synth32k/RESULTS.md). lr 2e-4: measured-stable from scratch
+    at b256 (the preset-1e-3 collapse note applies to the softmax
+    objective, but the same campaign lr is kept so arms stay comparable).
+    """
+    base = flagship_tpu_config(contrastive_loss="siglip", lr=2e-4)
+    return base.replace(**kw)
+
+
 def mae_pretrain_config(**kw: Any) -> Config:
     """Image-only MAE pretraining recipe (He et al., arXiv:2111.06377):
     masked reconstruction, no text tower. Base hyperparams follow the MAE

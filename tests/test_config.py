@@ -46,11 +46,18 @@ def test_dotted_overrides():
 
 
 def test_presets_validate():
+    from mae_clip_tpu.config import flagship_siglip_config, mae_pretrain_config
     for preset in (reference_py_config, notebook_config, flagship_tpu_config,
+                   flagship_siglip_config, mae_pretrain_config,
                    coco_full_config, large_batch_mesh_config):
         preset().validate()
     assert large_batch_mesh_config().batch_size == 32768
     assert large_batch_mesh_config().loss_chunk_size > 0
+    assert large_batch_mesh_config().accum_steps == 8
+    # The recommended from-scratch recipe (round-3 quality campaign).
+    s = flagship_siglip_config()
+    assert s.contrastive_loss == "siglip" and s.lr == 2e-4
+    assert s.mae.enabled and s.model_name == "vit_s16"
 
 
 def test_scheduler_quirk_py_vs_notebook():
