@@ -98,9 +98,16 @@ def test_two_process_global_loss_matches_single_process(tmp_path):
 
     assert results[0]["process_count"] == 2
     assert results[0]["global_devices"] == 8
-    # The replicated global loss is identical on both controllers.
-    assert results[0]["loss"] == results[1]["loss"]
-    assert np.isfinite(results[0]["loss"])
+    # Replicated global losses are identical on both controllers — for
+    # the softmax objective, the GradCache-accumulated step, and the
+    # SigLIP ICI ring.
+    for key in ("loss", "loss_accum", "loss_siglip"):
+        assert results[0][key] == results[1][key], key
+        assert np.isfinite(results[0][key]), key
+    # GradCache exactness holds ACROSS PROCESSES: the accumulated step's
+    # loss equals the giant-batch step's (same params/rng, dropout 0).
+    np.testing.assert_allclose(results[0]["loss_accum"],
+                               results[0]["loss"], rtol=1e-6)
 
     # --- single-process oracle on the SAME global batch ----------------
     # Reassemble global rows exactly as the 2-process mesh laid them out:
@@ -113,7 +120,7 @@ def test_two_process_global_loss_matches_single_process(tmp_path):
     tok = WordPieceTokenizer.from_vocab_file(str(vocab_path))
     local_batches = []
     for host in range(2):
-        mine = next(make_shard_loader(pattern, tok, batch_size=4,
+        mine = next(make_shard_loader(pattern, tok, batch_size=8,
                                       fixed_length=12, size=32,
                                       host_id=host, num_hosts=2,
                                       seed=0, epoch=0))
@@ -136,7 +143,7 @@ def test_two_process_global_loss_matches_single_process(tmp_path):
     from mae_clip_tpu.train.state import TrainState
 
     cfg = Config(model_name="vit_s16", image_embedding=24,
-                 projection_dim=16, size=32, max_length=12, batch_size=8,
+                 projection_dim=16, size=32, max_length=12, batch_size=16,
                  compute_dtype="float32", dropout=0.0,
                  text_trainable=False, global_contrastive=True)
     model = CLIPModel(
@@ -151,9 +158,28 @@ def test_two_process_global_loss_matches_single_process(tmp_path):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
     tx = make_optimizer(cfg, variables["params"])
     state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(2))
-    step = make_train_step(model, tx, cfg, mesh=create_mesh(8, 1))
+    mesh = create_mesh(8, 1)
+    step = make_train_step(model, tx, cfg, mesh=mesh)
     _, metrics = step(state, {k: jnp.asarray(v) for k, v in gbatch.items()})
     single_loss = float(metrics["loss"])
 
     np.testing.assert_allclose(results[0]["loss"], single_loss,
                                rtol=1e-6, atol=1e-6)
+
+    # SigLIP ring oracle: same init recipe as the workers'.
+    cfg_s = cfg.replace(contrastive_loss="siglip")
+    model_s = CLIPModel(
+        cfg_s,
+        text_config=DistilBertConfig(vocab_size=64, dim=32, n_layers=1,
+                                     n_heads=4, hidden_dim=64,
+                                     max_position_embeddings=32),
+        vit_config=ViTConfig(image_size=32, patch_size=8, dim=24, depth=1,
+                             n_heads=3, pos_embed="sincos"))
+    vars_s = jax.jit(model_s.init)(jax.random.PRNGKey(0), example)
+    tx_s = make_optimizer(cfg_s, vars_s["params"])
+    step_s = make_train_step(model_s, tx_s, cfg_s, mesh=mesh)
+    _, m_s = step_s(
+        TrainState.create(vars_s["params"], tx_s, jax.random.PRNGKey(2)),
+        {k: jnp.asarray(v) for k, v in gbatch.items()})
+    np.testing.assert_allclose(results[0]["loss_siglip"],
+                               float(m_s["loss"]), rtol=1e-6, atol=1e-6)

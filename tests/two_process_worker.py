@@ -50,7 +50,7 @@ def main() -> None:
     from mae_clip_tpu.train.state import TrainState
 
     cfg = Config(model_name="vit_s16", image_embedding=24,
-                 projection_dim=16, size=32, max_length=12, batch_size=8,
+                 projection_dim=16, size=32, max_length=12, batch_size=16,
                  compute_dtype="float32", dropout=0.0,
                  text_trainable=False, global_contrastive=True)
     text_cfg = DistilBertConfig(vocab_size=64, dim=32, n_layers=1,
@@ -64,7 +64,7 @@ def main() -> None:
     # subset of shards; both processes compute the identical global plan
     # without communicating (data/shards.py).
     tok = WordPieceTokenizer.from_vocab_file(vocab_path)
-    local = next(make_shard_loader(shard_pattern, tok, batch_size=4,
+    local = next(make_shard_loader(shard_pattern, tok, batch_size=8,
                                    fixed_length=12, size=32,
                                    host_id=pid, num_hosts=2,
                                    seed=0, epoch=0))
@@ -93,12 +93,40 @@ def main() -> None:
     state, metrics = step(state, gbatch)
     loss = float(metrics["loss"])           # fully-replicated output
 
+    # GradCache accumulation ACROSS PROCESSES: microbatches scan locally,
+    # the cached-embedding contrastive loss all-gathers over the joint
+    # mesh — the 32k-recipe path in its true multi-controller form.
+    cfg_a = cfg.replace(accum_steps=2)
+    params_a = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep),
+                                      host_params)
+    tx_a = make_optimizer(cfg_a, params_a)
+    step_a = make_train_step(model, tx_a, cfg_a, mesh=mesh,
+                             accum_steps=cfg_a.accum_steps)
+    _, m_a = step_a(TrainState.create(params_a, tx_a,
+                                      jax.random.PRNGKey(2)), gbatch)
+    loss_accum = float(m_a["loss"])
+
+    # SigLIP ICI ring across processes: the ppermute text rotation rides
+    # the joint mesh; loss params (scale/bias) are model-owned.
+    cfg_s = cfg.replace(contrastive_loss="siglip")
+    model_s = CLIPModel(cfg_s, text_config=text_cfg, vit_config=vit_cfg)
+    vars_s = jax.jit(model_s.init)(jax.random.PRNGKey(0), example)
+    params_s = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a), rep), vars_s["params"])
+    tx_s = make_optimizer(cfg_s, params_s)
+    step_s = make_train_step(model_s, tx_s, cfg_s, mesh=mesh)
+    _, m_s = step_s(TrainState.create(params_s, tx_s,
+                                      jax.random.PRNGKey(2)), gbatch)
+    loss_siglip = float(m_s["loss"])
+
     with open(out_json, "w") as f:
         json.dump({"process": pid,
                    "process_count": jax.process_count(),
                    "global_devices": len(jax.devices()),
-                   "loss": loss}, f)
-    print("OK", pid, loss)
+                   "loss": loss,
+                   "loss_accum": loss_accum,
+                   "loss_siglip": loss_siglip}, f)
+    print("OK", pid, loss, loss_accum, loss_siglip)
 
 
 if __name__ == "__main__":
