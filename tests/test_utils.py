@@ -115,5 +115,7 @@ def test_calibrate_tflops_smoke_cpu():
     pairwise slopes across chain lengths discards the intercept)."""
     from mae_clip_tpu.utils.calibrate import calibrate_tflops
 
-    rate = calibrate_tflops(lengths=(1, 3, 5), repeats=2, n=128)
-    assert rate > 0 and rate < 1e3          # finite, sane on CPU
+    # n=512 keeps each matmul ~ms-scale on CPU so the pairwise slopes
+    # are measurable (n=128 is sub-noise and the slope clamps).
+    rate = calibrate_tflops(lengths=(1, 3, 5), repeats=2, n=512)
+    assert rate > 0 and rate < 50, rate     # finite, CPU-scale
