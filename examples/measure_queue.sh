@@ -19,7 +19,9 @@ run() { # name, then command...
   echo "rc=$rc" >> "$OUT/$name.log"
 }
 
-# 0. Calibration: dependent bf16 8192^3 matmul chain, healthy ~164 TFLOP/s
+# 0. Calibration: dependent bf16 8192^3 matmul chain, healthy ~186 TFLOP/s
+#    (fetch-cancelled protocol; 110-120 readings were the OLD single-chain
+#    protocol absorbing a tunnel fetch — see BASELINE.md correction)
 #    (degraded windows have measured ~111; see CLAUDE.md).
 run calibration env PYTHONPATH=/root/repo:/root/.axon_site \
   python -c "from mae_clip_tpu.utils.calibrate import main; main()"

@@ -226,13 +226,14 @@ class ShardedDeviceStore(DeviceStore):
     """
 
     def __init__(self, arrays: Dict[str, "jax.Array"], mesh,
-                 axis: str = "data", n_real: Optional[int] = None):
+                 axis: str = "data", n_real: Optional[int] = None,
+                 maps: Optional[Dict[str, "np.ndarray"]] = None):
         import jax
         import jax.numpy as jnp
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        super().__init__(arrays)
+        super().__init__(arrays, maps=maps)
         if n_real is not None:
             self.n_real = n_real  # rows before pad-to-multiple-of-D
         d = mesh.shape[axis]
@@ -244,16 +245,31 @@ class ShardedDeviceStore(DeviceStore):
         self.mesh, self.axis = mesh, axis
         self.rows_per_shard = self.n // d
         rps = self.rows_per_shard
+        prefix = self.MAP_PREFIX
 
         def local_gather(arrs, idx):
+            # arrs values are the LOCAL shard blocks here. Deduped
+            # arrays resolve row -> GLOBAL storage index through their
+            # map table (built per-shard, so the storage row always
+            # lives on the same shard as the data row — still zero
+            # collectives); v.shape[0] IS the per-shard storage rows.
             shard = jax.lax.axis_index(axis)
             local = idx - shard * rps
-            return {k: jnp.take(v, local, axis=0)
-                    for k, v in arrs.items()}
+            out = {}
+            for k, v in arrs.items():
+                if k.startswith(prefix):
+                    continue
+                mk = prefix + k
+                if mk in arrs:
+                    g = jnp.take(arrs[mk], local, axis=0)
+                    out[k] = jnp.take(v, g - shard * v.shape[0], axis=0)
+                else:
+                    out[k] = jnp.take(v, local, axis=0)
+            return out
 
         self._local_gather = shard_map(
             local_gather, mesh=mesh,
-            in_specs=({k: P(axis) for k in arrays}, P(axis)),
+            in_specs=({k: P(axis) for k in self.arrays}, P(axis)),
             out_specs=P(axis))
 
     def traced_gather(self, arrays, indices) -> Dict[str, "jax.Array"]:
@@ -261,24 +277,80 @@ class ShardedDeviceStore(DeviceStore):
         return self._local_gather(arrays, indices)
 
 
+def _dedup_decode_sharded(dataset, fnames: np.ndarray, d: int,
+                          num_threads: int):
+    """Per-shard image dedup for the row-sharded store: each shard's
+    contiguous row range [s*rps, (s+1)*rps) dedups independently (so a
+    row's storage always lives on the row's own shard — the local-gather
+    contract holds), storage is padded to the max per-shard unique count
+    so the array shards uniformly, and the (rps*d,) map table carries
+    GLOBAL storage indices so the eager arbitrary-index ``gather`` works
+    through the base two-level take unchanged.
+
+    Returns (storage, map_table) or (None, None) when dedup wouldn't
+    shrink anything (all rows unique in every shard)."""
+    n = len(fnames)
+    rps = -(-n // d)
+    per_shard = []                          # (global first rows, inverse)
+    for sh in range(d):
+        lo, hi = sh * rps, min((sh + 1) * rps, n)
+        _, first, inv = np.unique(fnames[lo:hi],
+                                  return_index=True, return_inverse=True)
+        per_shard.append((lo + first, inv))
+    u_max = max(len(first) for first, _ in per_shard)
+    if u_max >= rps:
+        return None, None
+    decoded = _decode_all(
+        dataset, num_threads,
+        rows=np.concatenate([first for first, _ in per_shard]).tolist())
+    storage = np.zeros((d * u_max,) + decoded.shape[1:], decoded.dtype)
+    map_table = np.zeros((rps * d,), np.int32)
+    off = 0
+    for sh, (first, inv) in enumerate(per_shard):
+        u = len(first)
+        storage[sh * u_max:sh * u_max + u] = decoded[off:off + u]
+        map_table[sh * rps:sh * rps + len(inv)] = sh * u_max + inv
+        map_table[sh * rps + len(inv):(sh + 1) * rps] = sh * u_max  # pad
+        off += u
+    return storage, map_table
+
+
 def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
                                text_features: Optional[np.ndarray] = None,
                                images: Optional[np.ndarray] = None,
-                               num_threads: int = 8) -> ShardedDeviceStore:
+                               num_threads: int = 8,
+                               dedup_images: bool = True
+                               ) -> ShardedDeviceStore:
     """``build_device_store``'s row-sharded counterpart: decode once, pad
     to a multiple of the mesh '``axis``' size (zero rows; the sharded
     index loader never marks them valid), place each array with ONE
     ``device_put`` per array (each device materializes only its slice —
-    no transient 2x)."""
+    no transient 2x).
+
+    ``dedup_images`` (default on, matching ``build_device_store``): the
+    dedup is PER SHARD — see ``_dedup_decode_sharded`` — so repeated
+    captions save their ~duplication-factor of HBM here too, as long as
+    a row and its image's first occurrence land in the same contiguous
+    row range (caption datasets group captions per image, so they do)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if mesh is None:
         raise ValueError("build_sharded_device_store needs a mesh")
-    if images is None:
-        images = _decode_all(dataset, num_threads)
     d = mesh.shape[axis]
-    n = len(images)
+    maps = None
+    n = None
+    if images is None:
+        fnames = getattr(dataset, "image_filenames", None)
+        if dedup_images and fnames is not None:
+            storage, map_table = _dedup_decode_sharded(
+                dataset, np.asarray(fnames), d, num_threads)
+            if storage is not None:
+                images, maps, n = storage, {"image": map_table}, len(fnames)
+        if images is None:
+            images = _decode_all(dataset, num_threads)
+    if n is None:
+        n = len(images)
     rps = -(-n // d)
     pad = rps * d - n
 
@@ -291,13 +363,21 @@ def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
 
     sharding = NamedSharding(mesh, P(axis))
     put = lambda a: jax.device_put(padded(a), sharding)
-    arrays = {"image": put(images)}
+    if maps is not None:
+        # Deduped storage is already padded/aligned; the ROW-space pad
+        # applies to the map table (and any per-row arrays) instead.
+        arrays = {"image": jax.device_put(images, sharding)}
+        maps = {"image": jax.device_put(
+            np.asarray(maps["image"], np.int32),
+            sharding)}  # already rps*d rows
+    else:
+        arrays = {"image": put(images)}
     if text_features is not None:
         arrays["text_features"] = put(text_features)
     elif dataset is not None and hasattr(dataset, "input_ids"):
         arrays["input_ids"] = put(dataset.input_ids)
         arrays["attention_mask"] = put(dataset.attention_mask)
-    return ShardedDeviceStore(arrays, mesh, axis, n_real=n)
+    return ShardedDeviceStore(arrays, mesh, axis, n_real=n, maps=maps)
 
 
 def make_sharded_index_loader(n: int, batch_size: int, n_shards: int,

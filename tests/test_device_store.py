@@ -436,6 +436,109 @@ def test_deduped_store_gather_and_memory():
                                       err_msg=k)
 
 
+def test_sharded_store_dedup_matches_duplicated():
+    """Per-shard dedup on the row-sharded store (_dedup_decode_sharded):
+    gathers (eager arbitrary-index AND traced blocked) bit-match the
+    duplicated sharded store at fewer staged bytes; an image straddling a
+    shard boundary is stored once per shard (correct, just less saving);
+    a superstep Trainer epoch bit-matches too."""
+    from mae_clip_tpu.data.device_store import (build_sharded_device_store,
+                                                make_sharded_index_loader)
+    from mae_clip_tpu.parallel.mesh import mesh_from_config
+
+    # rows 0-13 over 4 shards (rps=4): shard0 [a,a,b,c] — 'c' STRADDLES
+    # into shard1 [c,c,d,d]; shard2 [e,e,f,f]; shard3 [g,g] (ragged).
+    names = ["a", "a", "b", "c", "c", "c", "d", "d",
+             "e", "e", "f", "f", "g", "g"]
+    n = len(names)
+    ids = np.arange(2 * n, dtype=np.int32).reshape(n, 2)
+
+    class CaptionsDS:
+        image_filenames = names
+        input_ids = ids
+        attention_mask = np.ones((n, 2), np.int32)
+
+        def __len__(self):
+            return n
+
+        def load_image(self, i):
+            return np.full((4, 4, 3), ord(names[i]), np.uint8)
+
+    cfg = tiny_cfg(batch_size=8, epochs=1, steps_per_call=2)
+    mesh = mesh_from_config(cfg.mesh)
+    mesh4 = jax.sharding.Mesh(mesh.devices.reshape(4, 2)[:, 0], ("data",))
+
+    ds = CaptionsDS()
+    ded = build_sharded_device_store(ds, mesh=mesh4)
+    dup = build_sharded_device_store(ds, mesh=mesh4, dedup_images=False)
+
+    assert ded.n == dup.n == 16 and ded.n_real == dup.n_real == n
+    # u_max = 3 ('a','b','c' in shard0) -> 12 storage rows, not 16.
+    assert ded.arrays["image"].shape[0] == 12
+    assert DeviceStore.MAP_PREFIX + "image" in ded.arrays
+    assert ded.nbytes < dup.nbytes
+
+    # eager gather, ARBITRARY (non-blocked) indices incl. the straddler
+    idx = jnp.asarray(np.array([13, 3, 4, 0, 7], np.int32))
+    a, b = ded.gather(idx), dup.gather(idx)
+    for k in ("image", "input_ids", "attention_mask"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+    # traced (shard_map local, zero-collective) gather on blocked batches
+    for bt in make_sharded_index_loader(n, 8, 4, shuffle=True, seed=3):
+        g1 = jax.jit(ded.traced_gather)(ded.arrays,
+                                        jnp.asarray(bt["indices"]))
+        g2 = jax.jit(dup.traced_gather)(dup.arrays,
+                                        jnp.asarray(bt["indices"]))
+        for k in g1:
+            np.testing.assert_array_equal(np.asarray(g1[k]),
+                                          np.asarray(g2[k]), err_msg=k)
+
+    # identical blocked batches train identically through the superstep
+    # (Trainer takes the mesh object; cfg.mesh only supplies axis names)
+    cfg4 = cfg
+    model, variables, _ = build(cfg4)
+    params0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+    loader = lambda: make_sharded_index_loader(n, 8, 4, shuffle=True,
+                                               seed=7)
+    states = []
+    for st in (ded, dup):
+        t = Trainer(cfg4, model,
+                    jax.tree_util.tree_map(jnp.asarray, params0),
+                    mesh=mesh4, train_store=st, valid_store=st)
+        assert t._superstep_k(train=True) == 2
+        t.train_epoch(loader())
+        states.append(t.state)
+    for x, y in zip(jax.tree_util.tree_leaves(states[0].params),
+                    jax.tree_util.tree_leaves(states[1].params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sharded_dedup_declined_when_all_unique():
+    """All-unique filenames: _dedup_decode_sharded returns None and the
+    builder stages the plain duplicated layout (no map key)."""
+    from mae_clip_tpu.data.device_store import build_sharded_device_store
+    from mae_clip_tpu.parallel.mesh import mesh_from_config
+
+    n = 8
+    cfg = tiny_cfg(batch_size=8)
+    mesh = mesh_from_config(cfg.mesh)
+
+    class DS:
+        image_filenames = [f"{i}.jpg" for i in range(n)]
+
+        def __len__(self):
+            return n
+
+        def load_image(self, i):
+            return np.full((4, 4, 3), i, np.uint8)
+
+    st = build_sharded_device_store(DS(), mesh=mesh)
+    assert DeviceStore.MAP_PREFIX + "image" not in st.arrays
+    assert st.arrays["image"].shape[0] == n
+
+
 def test_deduped_store_trains_identically_through_superstep():
     """A Trainer epoch over the deduped store (map riding through the
     in-scan traced_gather) bit-matches the duplicated store."""
