@@ -50,6 +50,11 @@ CACHED_TEXT = os.environ.get("BENCH_CACHED_TEXT", "1") == "1"
 # Contrastive objective: "" = preset (softmax) | "siglip" (ring loss;
 # single-chip bench exercises its local form).
 LOSS = os.environ.get("BENCH_LOSS", "")
+# Dual-tower arm: train the text tower too (the reference's OTHER recipe —
+# tutorial notebook cells 13/47 train DistilBERT with train-mode dropout).
+# Disables the frozen-text cache (the tower output is no longer constant)
+# and runs the full text fwd+bwd in the step.
+TEXT_TRAINABLE = os.environ.get("BENCH_TEXT_TRAINABLE", "0") == "1"
 
 
 def main() -> None:
@@ -84,6 +89,8 @@ def main() -> None:
         cfg = cfg.replace(fused_blocks=FUSED)
     if LOSS:
         cfg = cfg.replace(contrastive_loss=LOSS)
+    if TEXT_TRAINABLE:
+        cfg = cfg.replace(text_trainable=True, frozen_text_eval_mode=False)
     try:
         cfg.validate()
     except ValueError as e:   # e.g. a BENCH_LOSS typo silently A/B-ing
@@ -201,6 +208,7 @@ def main() -> None:
         "value": round(pairs_per_sec, 2),
         "unit": (f"image-text pairs/sec/chip ({tower} + DistilBERT"
                  f"{' w/ frozen-text feature cache' if use_cached_text else ''}"
+                 f"{' (trainable)' if cfg.text_trainable else ''}"
                  f"{', siglip' if cfg.contrastive_loss == 'siglip' else ''}"
                  f", {cfg.compute_dtype}, batch {BATCH}, fwd+bwd+AdamW)"),
         "vs_baseline": round(
@@ -210,6 +218,28 @@ def main() -> None:
         # Chip-health context: the fetch-cancelled chain sustains
         # ~183-191 TFLOP/s (~94% of the 197 bf16 peak) on a healthy chip.
         report["calib_tflops"] = round(calib, 1)
+
+    # Floor guard (round-4): the b256 flagship step is a DEFENDED floor
+    # (26.6 ms, two falsified hand-fusion strategies — BASELINE.md), so a
+    # silent regression from an XLA/runtime update should be loud.
+    # Normalizing by the same-window calibration separates "the chip or
+    # window is slow" (pairs/s and calib drop together -> ratio stable,
+    # no warning) from "the step regressed" (pairs/s drops alone).
+    FLOOR_PAIRS_PER_SEC = 9600.0   # flagship b256 cached-text, rounds 1-3
+    FLOOR_CALIB_TFLOPS = 186.0     # healthy fetch-cancelled chain rate
+    headline = (CONFIG == "flagship" and BATCH == 256 and use_cached_text
+                and not (DTYPE or FUSED or LOSS or DECODER_STYLE or ATTN
+                         or TEXT_TRAINABLE))
+    if calib is not None and calib > 0 and headline:
+        normalized = pairs_per_sec * (FLOOR_CALIB_TFLOPS / calib)
+        report["vs_floor"] = round(normalized / FLOOR_PAIRS_PER_SEC, 3)
+        if normalized < 0.9 * FLOOR_PAIRS_PER_SEC:
+            report["floor_warning"] = (
+                f"calib-normalized throughput {normalized:.0f} pairs/s is "
+                f">10% below the defended floor "
+                f"({FLOOR_PAIRS_PER_SEC:.0f} at calib "
+                f"{FLOOR_CALIB_TFLOPS:.0f} TF/s) — step regression, not "
+                f"window drift; re-run and trace (examples/trace_step.py)")
     if os.environ.get("BENCH_MFU", "0") == "1":
         # Hardware FLOP utilization from XLA's cost model (opt-in: the
         # lower+compile pass adds noticeable time on the remote tunnel).

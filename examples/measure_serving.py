@@ -23,12 +23,14 @@ import argparse
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
 
 
-def _client_loop(url: str, stop: threading.Event, lat: list) -> None:
+def _client_loop(url: str, stop: threading.Event, lat: list,
+                 shed: list) -> None:
     body = json.dumps({"query": "a photo of a dog on a beach",
                        "n": 9}).encode()
     while not stop.is_set():
@@ -36,8 +38,16 @@ def _client_loop(url: str, stop: threading.Event, lat: list) -> None:
         req = urllib.request.Request(url, data=body,
                                      headers={"Content-Type":
                                               "application/json"})
-        with urllib.request.urlopen(req, timeout=60) as r:
-            r.read()
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                r.read()
+        except urllib.error.HTTPError as e:
+            if e.code != 503:
+                raise
+            # Load shed (MicroBatcher max_queue/deadline): the point of
+            # the bounded-tail mode — record it, don't crash the client.
+            shed.append(time.perf_counter() - t0)
+            continue
         lat.append(time.perf_counter() - t0)
 
 
@@ -59,7 +69,9 @@ def run_cell(service, host, port, concurrency: int, secs: float) -> dict:
 
     stop = threading.Event()
     lat: list = []
-    clients = [threading.Thread(target=_client_loop, args=(url, stop, lat),
+    shed: list = []
+    clients = [threading.Thread(target=_client_loop,
+                                args=(url, stop, lat, shed),
                                 daemon=True) for _ in range(concurrency)]
     t0 = time.perf_counter()
     for c in clients:
@@ -74,13 +86,21 @@ def run_cell(service, host, port, concurrency: int, secs: float) -> dict:
 
     lat_ms = sorted(1e3 * x for x in lat)
     n = len(lat_ms)
-    return {
+    cell = {
         "concurrency": concurrency,
         "requests": n,
         "qps": round(n / wall, 1),
         "p50_ms": round(lat_ms[n // 2], 1) if n else None,
         "p99_ms": round(lat_ms[min(n - 1, int(n * 0.99))], 1) if n else None,
     }
+    if shed:
+        # p50/p99 above are ADMITTED requests only — the bounded tail the
+        # max_queue/deadline knobs buy; shed requests got a fast 503.
+        cell["shed"] = len(shed)
+        cell["shed_rate"] = round(len(shed) / (len(shed) + n), 3)
+        cell["shed_p99_ms"] = round(
+            sorted(1e3 * x for x in shed)[int(len(shed) * 0.99)], 1)
+    return cell
 
 
 def main() -> None:
@@ -89,6 +109,10 @@ def main() -> None:
     ap.add_argument("--secs", type=float, default=20.0)
     ap.add_argument("--concurrency", default="1,8,64")
     ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--shed-queue", type=int, default=32,
+                    help="max_queue for the shedding cells")
+    ap.add_argument("--shed-deadline-ms", type=float, default=250.0,
+                    help="deadline_ms for the shedding cells")
     args = ap.parse_args()
 
     import jax
@@ -129,21 +153,25 @@ def main() -> None:
     backend = jax.default_backend()
     conc = [int(c) for c in args.concurrency.split(",")]
     for quantize in (False, True):
-        for micro in (False, True):
+        for mode in ("plain", "micro", "micro_shed"):
             service = RetrievalService(
                 model, variables, tok, gallery=jnp.asarray(gal),
                 gallery_names=names, max_length=64, dedup_stride=5,
                 quantize_gallery=quantize)
-            if micro:
-                service.enable_micro_batching(max_batch=16,
-                                              max_wait_ms=3.0,
-                                              fixed_length=64)
+            if mode != "plain":
+                shed = mode == "micro_shed"
+                service.enable_micro_batching(
+                    max_batch=16, max_wait_ms=3.0, fixed_length=64,
+                    max_queue=args.shed_queue if shed else None,
+                    deadline_ms=args.shed_deadline_ms if shed else None)
             for c in conc:
                 cell = run_cell(service, "127.0.0.1", args.port, c,
                                 args.secs)
-                cell.update({"micro_batcher": micro, "int8_gallery":
-                             quantize, "gallery": args.gallery,
-                             "backend": backend})
+                cell.update({"mode": mode, "int8_gallery": quantize,
+                             "gallery": args.gallery, "backend": backend})
+                if mode == "micro_shed":
+                    cell.update({"max_queue": args.shed_queue,
+                                 "deadline_ms": args.shed_deadline_ms})
                 print(json.dumps(cell), flush=True)
             if service._batcher is not None:
                 service._batcher.close()

@@ -229,10 +229,23 @@ def cmd_train(args) -> None:
     if len(jax.devices()) > 1:
         mesh = mesh_from_config(cfg.mesh)
 
+    # Multi-host CSV/COCO: every host computes the same seed-deterministic
+    # global shuffle and decodes only its contiguous batch_size/num_hosts
+    # slice of every global batch (make_loader host slicing); the Trainer
+    # assembles the global array per step (parallel.sharding.shard_batch).
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+    p0 = host_id == 0
+    if num_hosts > 1 and cfg.device_data:
+        raise SystemExit(
+            "device_data=true stages from one controller; multi-host runs "
+            "stream per-host data instead (use --shards, or "
+            "device_data=false — docs/MULTIHOST.md)")
+
     rng = np.random.default_rng(cfg.seed)
     example = {k: v for k, v in
-               next(make_loader(train_ds, cfg.batch_size,
-                                num_threads=1)).items() if k != "caption"}
+               next(make_loader(train_ds, cfg.batch_size, num_threads=1,
+                                host_id=host_id, num_hosts=num_hosts)
+                    ).items() if k != "caption"}
     if example["image"].dtype == np.uint8:
         # The train step normalizes (and, for aug-source geometry, crops)
         # uint8 on-device; init only needs the post-prep shape/dtype.
@@ -251,8 +264,9 @@ def cmd_train(args) -> None:
         new_params, transferred, skipped = load_mae_encoder_into_clip(
             variables["params"], mae_vars["params"])
         variables = dict(variables, params=new_params)
-        print(f"init-from-mae: {len(transferred)} tensors transferred, "
-              f"{len(skipped)} skipped")
+        if p0:
+            print(f"init-from-mae: {len(transferred)} tensors transferred, "
+                  f"{len(skipped)} skipped")
 
     # LiT-style frozen-text cache: one tower pass per dataset instead of
     # one per step (~1/3 of the flagship step; see config field docs).
@@ -262,8 +276,9 @@ def cmd_train(args) -> None:
         tv = dict(variables)
         train_tf = precompute_text_features(model, tv, train_ds)
         valid_tf = precompute_text_features(model, tv, valid_ds)
-        print(f"cached frozen-text features: {train_tf.shape} train, "
-              f"{valid_tf.shape} valid")
+        if p0:
+            print(f"cached frozen-text features: {train_tf.shape} train, "
+                  f"{valid_tf.shape} valid")
 
     # Device-resident data: whole decoded dataset staged in HBM, batches
     # gathered on device from (B,) index vectors (data.device_store).
@@ -281,11 +296,11 @@ def cmd_train(args) -> None:
         import os as _os
         step_mngr = StepCheckpointManager(
             _os.path.join(cfg.checkpoints, "steps"))
-    writer = MetricWriter(cfg.logdir)
+    writer = MetricWriter(cfg.logdir) if p0 else None
     trainer = Trainer(cfg, model, variables["params"],
                       batch_stats=variables.get("batch_stats"), mesh=mesh,
                       checkpoint_manager=mngr, writer=writer,
-                      progress=getattr(args, "progress", True),
+                      progress=getattr(args, "progress", True) and p0,
                       train_store=train_store, valid_store=valid_store,
                       step_checkpoint_manager=step_mngr)
 
@@ -293,11 +308,13 @@ def cmd_train(args) -> None:
         def train_loader(epoch):
             return make_loader(train_ds, cfg.batch_size, shuffle=True,
                                seed=cfg.seed + 1 + epoch,
-                               text_features=train_tf)
+                               text_features=train_tf,
+                               host_id=host_id, num_hosts=num_hosts)
 
         def valid_loader():
             return make_loader(valid_ds, cfg.batch_size,
-                               text_features=valid_tf)
+                               text_features=valid_tf,
+                               host_id=host_id, num_hosts=num_hosts)
 
     eval_fn = None
     if args.eval_retrieval:
@@ -320,7 +337,8 @@ def cmd_train(args) -> None:
                 resumed_mid = True
         if not resumed_mid and mngr.latest_step() is not None:
             start_epoch = trainer.restore() + 1
-        print(f"resumed: epoch {start_epoch}, batch {skip_batches}")
+        if p0:
+            print(f"resumed: epoch {start_epoch}, batch {skip_batches}")
 
     history = trainer.fit(train_loader, valid_loader, eval_fn=eval_fn,
                           start_epoch=start_epoch,
@@ -328,9 +346,10 @@ def cmd_train(args) -> None:
     mngr.wait()
     if step_mngr is not None:
         step_mngr.wait()
-    print(json.dumps({"final_train_loss": history["train_loss"][-1],
-                      "final_valid_loss": history["valid_loss"][-1],
-                      "best_valid_loss": trainer.best_loss}))
+    if p0:
+        print(json.dumps({"final_train_loss": history["train_loss"][-1],
+                          "final_valid_loss": history["valid_loss"][-1],
+                          "best_valid_loss": trainer.best_loss}))
 
 
 def _train_from_shards(args, cfg: Config) -> None:
@@ -341,7 +360,8 @@ def _train_from_shards(args, cfg: Config) -> None:
     import jax
     import numpy as np
 
-    from mae_clip_tpu.data.shards import make_shard_loader
+    from mae_clip_tpu.data.shards import (host_batch_counts,
+                                          make_shard_loader)
     from mae_clip_tpu.parallel.mesh import mesh_from_config
     from mae_clip_tpu.train.checkpoint import CheckpointManager
     from mae_clip_tpu.train.loop import Trainer
@@ -351,17 +371,25 @@ def _train_from_shards(args, cfg: Config) -> None:
     model, _ = _build_model(cfg, vocab_size=tokenizer.vocab_size)
     vit_fast = cfg.model_name.startswith("vit")
     host_id, num_hosts = jax.process_index(), jax.process_count()
+    p0 = host_id == 0
     if cfg.batch_size % num_hosts:
         raise SystemExit(f"batch_size {cfg.batch_size} not divisible by "
                          f"{num_hosts} hosts")
     local_bs = cfg.batch_size // num_hosts
 
     def loader(pattern, epoch):
+        # Hosts stream disjoint shard subsets whose record counts differ;
+        # every host pads its stream to the max per-host batch count so
+        # the mesh collectives stay in lockstep (host_batch_counts is
+        # deterministic — no coordination needed).
+        pad = (max(host_batch_counts(pattern, local_bs, num_hosts,
+                                     seed=cfg.seed, epoch=epoch))
+               if num_hosts > 1 else None)
         return make_shard_loader(
             pattern, tokenizer, local_bs, fixed_length=cfg.max_length,
             size=cfg.size, patchify_size=16 if vit_fast else None,
             raw_uint8=vit_fast, host_id=host_id, num_hosts=num_hosts,
-            seed=cfg.seed, epoch=epoch)
+            seed=cfg.seed, epoch=epoch, pad_to_batches=pad)
 
     mesh = None
     if len(jax.devices()) > 1:
@@ -376,17 +404,26 @@ def _train_from_shards(args, cfg: Config) -> None:
     )(jax.random.PRNGKey(cfg.seed), example)
 
     mngr = CheckpointManager(cfg.checkpoints)
-    writer = MetricWriter(cfg.logdir)
+    writer = MetricWriter(cfg.logdir) if p0 else None
     trainer = Trainer(cfg, model, variables["params"], mesh=mesh,
                       checkpoint_manager=mngr, writer=writer,
-                      progress=getattr(args, "progress", True))
+                      progress=getattr(args, "progress", True) and p0)
+
+    start_epoch = 0
+    if getattr(args, "resume", False) and mngr.latest_step() is not None:
+        start_epoch = trainer.restore() + 1
+        if p0:
+            print(f"resumed: epoch {start_epoch}, batch 0")
+
     history = trainer.fit(
         lambda epoch=0: loader(args.shards, epoch),
-        lambda epoch=0: loader(args.shards_val or args.shards, 0))
+        lambda epoch=0: loader(args.shards_val or args.shards, 0),
+        start_epoch=start_epoch)
     mngr.wait()
-    print(json.dumps({"final_train_loss": history["train_loss"][-1],
-                      "final_valid_loss": history["valid_loss"][-1],
-                      "best_valid_loss": trainer.best_loss}))
+    if p0:
+        print(json.dumps({"final_train_loss": history["train_loss"][-1],
+                          "final_valid_loss": history["valid_loss"][-1],
+                          "best_valid_loss": trainer.best_loss}))
 
 
 def cmd_retrieve(args) -> None:
@@ -555,7 +592,9 @@ def cmd_serve(args) -> None:
                            quantize_gallery=args.quantize_gallery)
     if args.microbatch > 1 and gallery is not None:
         svc.enable_micro_batching(max_batch=args.microbatch,
-                                  max_wait_ms=args.microbatch_wait_ms)
+                                  max_wait_ms=args.microbatch_wait_ms,
+                                  max_queue=args.max_queue or None,
+                                  deadline_ms=args.deadline_ms or None)
     server = make_server(svc, host=args.host, port=args.port)
     print(json.dumps({"serving": f"http://{args.host}:"
                                  f"{server.server_address[1]}",
@@ -1134,6 +1173,13 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="coalesce up to N concurrent /retrieve requests "
                         "into one jitted call (1 disables)")
     p.add_argument("--microbatch-wait-ms", type=float, default=5.0)
+    p.add_argument("--max-queue", type=int, default=128,
+                   help="cap on waiting /retrieve requests; beyond it the "
+                        "server sheds with HTTP 503 (bounds tail latency "
+                        "for admitted requests; 0 = unbounded)")
+    p.add_argument("--deadline-ms", type=float, default=0,
+                   help="shed queued requests older than this before they "
+                        "cost a device call (503; 0 = off)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("build-vocab",

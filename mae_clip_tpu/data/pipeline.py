@@ -70,6 +70,20 @@ class ImageFileSource:
     def __len__(self) -> int:
         return len(self.image_filenames)
 
+    def sample_shape(self) -> Tuple[Tuple[int, ...], np.dtype]:
+        """(shape, dtype) of one loaded image — without decoding any file.
+
+        Lets the loaders build all-padding batches for hosts whose slice
+        of a ragged global tail is empty (multi-host training: every host
+        must emit the same number of static-shape batches or the mesh
+        collectives deadlock)."""
+        if self.patchify_size:
+            n = (self.size // self.patchify_size) ** 2
+            shape = (n, self.patchify_size * self.patchify_size * 3)
+        else:
+            shape = (self.size, self.size, 3)
+        return shape, np.dtype(np.uint8 if self.raw_uint8 else np.float32)
+
     def _native_enabled(self) -> bool:
         if self.native == "never" or not (self.raw_uint8
                                           and self.patchify_size):
@@ -238,8 +252,14 @@ def make_loader(dataset: CaptionDataset, batch_size: int,
         pad = local_bs - count
         if images is not None:
             imgs = images[idx]
-        else:
+        elif count:
             imgs = np.stack([dataset.load_image(i) for i in idx])
+        else:
+            # This host's slice of a ragged global tail is empty: emit an
+            # all-padding batch (valid all-False) so every host runs the
+            # same number of steps.
+            shape, dtype = dataset.sample_shape()
+            imgs = np.zeros((0,) + shape, dtype)
         if pad:
             imgs = np.concatenate(
                 [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
@@ -319,12 +339,15 @@ def make_image_loader(dataset: ImageFileSource, batch_size: int,
         pad = local_bs - count
         if images is not None:
             imgs = images[idx]
-        else:
+        elif count:
             imgs = np.stack([
                 dataset.load_image(
                     i, np.random.default_rng([seed, int(i)])
                     if augment else None)
                 for i in idx])
+        else:
+            shape, dtype = dataset.sample_shape()
+            imgs = np.zeros((0,) + shape, dtype)
         if pad:
             imgs = np.concatenate(
                 [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])

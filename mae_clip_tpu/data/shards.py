@@ -113,13 +113,61 @@ def shard_plan(pattern: str, host_id: int = 0, num_hosts: int = 1,
     return [shards[i] for i in order[host_id::num_hosts]]
 
 
+_RECORD_COUNT_CACHE: Dict[Tuple[str, float, int], int] = {}
+
+
+def shard_record_count(shard_path: str) -> int:
+    """Number of (image, caption) records in one tar shard.
+
+    Reads tar member HEADERS only (tarfile seeks past payloads), so it is
+    cheap even for large shards; cached by (path, mtime, size)."""
+    st = os.stat(shard_path)
+    key = (shard_path, st.st_mtime, st.st_size)
+    hit = _RECORD_COUNT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    images, texts = set(), set()
+    with tarfile.open(shard_path, "r") as tar:
+        for member in tar:
+            k, ext = os.path.splitext(member.name)
+            if ext.lower() in _IMAGE_EXTS:
+                images.add(k)
+            elif ext == ".txt":
+                texts.add(k)
+    count = len(images & texts)
+    _RECORD_COUNT_CACHE[key] = count
+    return count
+
+
+def host_batch_counts(pattern: str, batch_size: int, num_hosts: int,
+                      seed: int = 0, epoch: int = 0,
+                      drop_last: bool = False) -> List[int]:
+    """Per-host number of batches this epoch — computable on EVERY host.
+
+    Hosts take disjoint strided shard subsets, so their record (and hence
+    batch) counts differ; a jitted step with mesh collectives deadlocks
+    unless every host dispatches the same number of steps. The plan and
+    the per-shard record counts are deterministic, so each host computes
+    all hosts' counts without communicating and pads its own stream to
+    ``max(host_batch_counts(...))`` (``make_shard_loader(pad_to_batches=
+    ...)``)."""
+    counts = []
+    for h in range(num_hosts):
+        records = sum(shard_record_count(s) for s in
+                      shard_plan(pattern, h, num_hosts, seed, epoch))
+        counts.append(records // batch_size if drop_last
+                      else -(-records // batch_size))
+    return counts
+
+
 def make_shard_loader(pattern: str, tokenizer: WordPieceTokenizer,
                       batch_size: int, fixed_length: int,
                       size: int = 224, patchify_size: Optional[int] = None,
                       raw_uint8: bool = False,
                       host_id: int = 0, num_hosts: int = 1,
                       seed: int = 0, epoch: int = 0,
-                      drop_last: bool = False
+                      drop_last: bool = False,
+                      pad_to_batches: Optional[int] = None
                       ) -> Iterator[Dict[str, np.ndarray]]:
     """Stream standard static-shape batches from tar shards.
 
@@ -127,6 +175,10 @@ def make_shard_loader(pattern: str, tokenizer: WordPieceTokenizer,
     independent per host, so unlike ``make_loader`` there is no global
     batch to slice. The ragged tail is padded + ``valid``-masked (never
     dropped) unless ``drop_last``.
+
+    ``pad_to_batches``: emit all-padding (valid all-False) batches after
+    the stream ends until that many batches have been yielded — multi-host
+    step-count equalization (see :func:`host_batch_counts`).
     """
     from mae_clip_tpu.data.images import host_preprocess, patchify_host
     from mae_clip_tpu.data.pipeline import pad_token_batch
@@ -160,7 +212,18 @@ def make_shard_loader(pattern: str, tokenizer: WordPieceTokenizer,
     def emit(images: List[np.ndarray], captions: List[str]
              ) -> Dict[str, np.ndarray]:
         count = len(images)
-        imgs = np.stack(images)
+        if count:
+            imgs = np.stack(images)
+        else:
+            # All-padding equalization batch: same static shape as a
+            # real batch, valid all-False.
+            if patchify_size:
+                shape = ((size // patchify_size) ** 2,
+                         patchify_size * patchify_size * 3)
+            else:
+                shape = (size, size, 3)
+            imgs = np.zeros((0,) + shape,
+                            np.uint8 if raw_uint8 else np.float32)
         if count < batch_size:
             imgs = np.concatenate(
                 [imgs, np.zeros((batch_size - count,) + imgs.shape[1:],
@@ -168,13 +231,16 @@ def make_shard_loader(pattern: str, tokenizer: WordPieceTokenizer,
         enc = tokenizer.encode_batch(captions, max_length=fixed_length,
                                      fixed_length=fixed_length)
         ids, mask = pad_token_batch(
-            np.asarray(enc["input_ids"], np.int32),
-            np.asarray(enc["attention_mask"], np.int32), batch_size)
+            np.asarray(enc["input_ids"], np.int32).reshape(
+                count, fixed_length),
+            np.asarray(enc["attention_mask"], np.int32).reshape(
+                count, fixed_length), batch_size)
         valid = np.zeros((batch_size,), bool)
         valid[:count] = True
         return {"image": imgs, "input_ids": ids, "attention_mask": mask,
                 "valid": valid}
 
+    emitted = 0
     images: List[np.ndarray] = []
     captions: List[str] = []
     for si, shard in enumerate(shard_plan(pattern, host_id, num_hosts,
@@ -188,6 +254,11 @@ def make_shard_loader(pattern: str, tokenizer: WordPieceTokenizer,
             captions.append(caption)
             if len(images) == batch_size:
                 yield emit(images, captions)
+                emitted += 1
                 images, captions = [], []
     if images and not drop_last:
         yield emit(images, captions)
+        emitted += 1
+    while pad_to_batches is not None and emitted < pad_to_batches:
+        yield emit([], [])
+        emitted += 1

@@ -226,6 +226,14 @@ def global_clip_soft_ce_loss_chunked(
         return jnp.matmul(img, ct.T, preferred_element_type=jnp.float32) / t
 
     # --- pass 1: online logsumexp for sim / logits / logitsT rows ---
+    # Both scan bodies are rematerialized (jax.checkpoint): without it the
+    # scan vjp STACKS each iteration's (B_local, chunk) score matrices as
+    # residuals — at the 32k-on-one-chip scale that is num_chunks x three
+    # 512 MiB buffers (~12 GiB), defeating the whole point of chunking.
+    # Recomputing the row_scores matmuls in the backward is the standard
+    # blockwise-loss trade (arXiv:2410.17243) and costs a small fraction
+    # of the tower FLOPs.
+    @jax.checkpoint
     def lse_pass(carry, chunk):
         ci, ct, cv = chunk
         out = []
@@ -260,6 +268,7 @@ def global_clip_soft_ce_loss_chunked(
     # texts_loss[i]  = z_log[i]  - sum_j p_sim[i,j] * logits[i,j]
     # images_loss[i] = sum_j t_ji * (z_logT[i] - logitsT[i,j]),
     #   with t_ji = exp(sim[j,i] - z_sim[j]) and sum_j t_ji == 1 over valid j.
+    @jax.checkpoint
     def acc_pass(carry, chunk):
         acc_txt, acc_img = carry
         ci, ct, cv, cz = chunk
@@ -515,6 +524,10 @@ def global_clip_hard_ce_loss(
         col_ids = jnp.arange(num_chunks * chunk_size).reshape(
             (num_chunks, chunk_size))
 
+        # Rematerialized for the same reason as the soft chunked loss's
+        # passes: the scan vjp would otherwise stack each chunk's
+        # (B_local, chunk) logits as residuals.
+        @jax.checkpoint
         def pass_fn(carry, chunk):
             (mt, st, ot), (mi, si, oi) = carry
             ci, ct, cv, cols = chunk

@@ -100,6 +100,34 @@ def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
 
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh,
                 data_axis: str = "data") -> Dict[str, jax.Array]:
+    """Lay a batch out over the mesh ``data`` axis.
+
+    Single controller: a plain ``device_put`` onto the batch sharding.
+
+    Multi-controller (``jax.process_count() > 1``): each process holds
+    only its LOCAL ``batch_size / num_processes`` rows (the loaders'
+    ``host_id``/``num_hosts`` slicing), and ``device_put`` onto a
+    sharding with non-addressable devices is not the JAX contract for
+    host-local data — the global batch is assembled with
+    ``jax.make_array_from_process_local_data`` instead, each process
+    contributing its slice. Row placement follows each process's
+    addressable block of the mesh; image/text/valid ride the same
+    layout, so the contrastive pairing (and hence the loss) is
+    independent of which global rows a process's block maps to.
+
+    Inside a trace (superstep gather) the leaves are tracers; assembly
+    from host data is meaningless there, so the traced path keeps the
+    ``device_put`` sharding constraint (device stores are
+    single-controller anyway — enforced by ``Trainer``).
+    """
+    import numpy as np
+
     sharding = batch_sharding(mesh, data_axis)
+    leaves = jax.tree_util.tree_leaves(batch)
+    if (jax.process_count() > 1
+            and not any(isinstance(l, jax.core.Tracer) for l in leaves)):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)

@@ -32,6 +32,12 @@ import numpy as np
 from mae_clip_tpu.ops.retrieval import l2_normalize, retrieval_topk
 
 
+class Overloaded(RuntimeError):
+    """The serving queue is over capacity (or a request aged past its
+    deadline before reaching the device). Maps to HTTP 503 — callers
+    should back off and retry."""
+
+
 class MicroBatcher:
     """Dynamic request coalescing for TPU serving.
 
@@ -42,25 +48,45 @@ class MicroBatcher:
     and runs ONE ``fn(items) -> results`` call for the whole batch.
     Callers block in ``submit`` until their result is ready. Exceptions
     propagate to every caller in the failed batch.
+
+    Tail bounding (round-4; BASELINE.md serving table measured c=64 p99 at
+    1.2-1.5 s with an unbounded queue): ``max_queue`` caps the number of
+    waiting items — ``submit`` raises :class:`Overloaded` instead of
+    enqueueing beyond it, so latency for ADMITTED requests is bounded by
+    ~(max_queue / max_batch + 1) device calls; ``deadline_ms`` additionally
+    sheds items that already waited that long when the worker dequeues
+    them (they raise :class:`Overloaded` without costing a device call).
+    Both default off (unbounded, the pre-round-4 behavior).
     """
 
     _STOP = object()
 
     def __init__(self, fn: Callable[[List[Any]], List[Any]],
-                 max_batch: int = 16, max_wait_ms: float = 5.0):
+                 max_batch: int = 16, max_wait_ms: float = 5.0,
+                 max_queue: Optional[int] = None,
+                 deadline_ms: Optional[float] = None):
         self.fn = fn
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        self.max_queue = max_queue
+        self.deadline = deadline_ms / 1e3 if deadline_ms else None
         self.batches_run = 0
         self.items_run = 0
+        self.items_shed = 0
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, item: Any) -> Any:
+        if self.max_queue is not None and self._q.qsize() >= self.max_queue:
+            # qsize() is advisory under concurrency, which is fine here:
+            # the cap is a load-shedding threshold, not an invariant.
+            self.items_shed += 1
+            raise Overloaded(
+                f"serving queue at capacity ({self.max_queue} waiting)")
         ev = threading.Event()
         box: Dict[str, Any] = {}
-        self._q.put((item, ev, box))
+        self._q.put((item, ev, box, time.monotonic()))
         ev.wait()
         if "error" in box:
             raise box["error"]
@@ -70,12 +96,31 @@ class MicroBatcher:
         self._q.put(self._STOP)
         self._thread.join(timeout=5)
 
+    def _shed_expired(self, batch):
+        """Split off items whose queue wait already exceeds the deadline;
+        fail them fast (no device call) so the admitted tail stays
+        bounded under bursts."""
+        if self.deadline is None:
+            return batch
+        now = time.monotonic()
+        keep = []
+        for entry in batch:
+            if now - entry[3] > self.deadline:
+                entry[2]["error"] = Overloaded(
+                    f"request waited > {self.deadline * 1e3:.0f} ms in "
+                    f"the serving queue")
+                entry[1].set()
+                self.items_shed += 1
+            else:
+                keep.append(entry)
+        return keep
+
     def _loop(self) -> None:
         while True:
             first = self._q.get()
             if first is self._STOP:
                 return
-            batch: List[Tuple[Any, threading.Event, Dict]] = [first]
+            batch: List[Tuple[Any, threading.Event, Dict, float]] = [first]
             deadline = time.monotonic() + self.max_wait
             while len(batch) < self.max_batch:
                 timeout = deadline - time.monotonic()
@@ -89,13 +134,16 @@ class MicroBatcher:
                     self._q.put(self._STOP)   # re-queue for the outer loop
                     break
                 batch.append(nxt)
+            batch = self._shed_expired(batch)
+            if not batch:
+                continue
             try:
                 results = self.fn([b[0] for b in batch])
-                for (item, ev, box), r in zip(batch, results):
+                for (item, ev, box, _), r in zip(batch, results):
                     box["result"] = r
                     ev.set()
             except Exception as e:                 # noqa: BLE001
-                for _, ev, box in batch:
+                for _, ev, box, _ in batch:
                     box["error"] = e
                     ev.set()
             self.batches_run += 1
@@ -138,7 +186,10 @@ class RetrievalService:
     def enable_micro_batching(self, max_batch: int = 16,
                               max_wait_ms: float = 5.0,
                               fixed_length: Optional[int] = None,
-                              max_n: int = 50) -> MicroBatcher:
+                              max_n: int = 50,
+                              max_queue: Optional[int] = None,
+                              deadline_ms: Optional[float] = None
+                              ) -> MicroBatcher:
         """Coalesce concurrent /retrieve requests into ONE jitted call.
 
         Shapes are pinned — queries tokenized to ``fixed_length``
@@ -157,7 +208,9 @@ class RetrievalService:
         self._mb_max_n = max_n
         self._batcher = MicroBatcher(self._retrieve_many,
                                      max_batch=max_batch,
-                                     max_wait_ms=max_wait_ms)
+                                     max_wait_ms=max_wait_ms,
+                                     max_queue=max_queue,
+                                     deadline_ms=deadline_ms)
         return self._batcher
 
     def _retrieve_many(self, items: List[Tuple[str, int]]) -> List[Dict]:
@@ -275,11 +328,19 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {
+                payload = {
                     "status": "ok",
                     "gallery_size": service.gallery_size,
                     "backend": jax.default_backend(),
-                })
+                }
+                b = service._batcher
+                if b is not None:
+                    payload["batcher"] = {
+                        "batches_run": b.batches_run,
+                        "items_run": b.items_run,
+                        "items_shed": b.items_shed,
+                    }
+                self._send(200, payload)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -317,6 +378,8 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
                         template=req.get("template", "a photo of a {}"))})
                 else:
                     self._send(404, {"error": "not found"})
+            except Overloaded as e:  # shed load: bounded tail, retryable
+                self._send(503, {"error": f"Overloaded: {e}"})
             except Exception as e:  # surface errors as JSON, keep serving
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 

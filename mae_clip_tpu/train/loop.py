@@ -48,8 +48,14 @@ def _clip_loss_fn(cfg: Config, mesh: Optional[Mesh]) -> Callable:
     from the model param tree, and is ignored by the softmax objective.
     """
     data_axis = cfg.mesh.axis_names[0]
+    # A 1-device mesh still takes the shard_map path when the loss is
+    # CHUNKED: the collectives degenerate to identities but the blockwise
+    # online-logsumexp evaluation is exactly what lets a 32k-batch
+    # objective run on ONE chip without materializing 32k x 32k logits
+    # (BASELINE.json config 5 at single-chip scale).
     use_global = (cfg.global_contrastive and mesh is not None
-                  and mesh.shape[data_axis] > 1)
+                  and (mesh.shape[data_axis] > 1
+                       or cfg.loss_chunk_size > 0))
 
     if cfg.contrastive_loss == "siglip":
         if not use_global:
@@ -599,6 +605,27 @@ class Trainer:
         self.cfg = cfg
         self.model = model
         self.mesh = mesh
+        # Multi-controller (multi-host) runs: every process executes this
+        # same Trainer in lockstep over a mesh spanning all processes'
+        # devices (docs/MULTIHOST.md). Params/stats arrive as host or
+        # process-local arrays from an identical-seed init; replicate
+        # them onto the global mesh up front (fully-replicated
+        # device_put of identical host data is the one legal multi-
+        # controller placement of host values), so the compiled step's
+        # in_shardings never have to reshard process-local inputs.
+        self._nproc = jax.process_count()
+        if self._nproc > 1 and mesh is not None:
+            if train_store is not None or valid_store is not None:
+                raise ValueError(
+                    "device-resident stores assume one controller can "
+                    "device_put to every mesh device; multi-host runs "
+                    "stream per-host shards instead (docs/MULTIHOST.md)")
+            rep = NamedSharding(mesh, P())
+            _rep = lambda t: jax.tree_util.tree_map(
+                lambda a: jax.device_put(np.asarray(a), rep), t)
+            params = _rep(params)
+            if batch_stats is not None:
+                batch_stats = _rep(batch_stats)
         self.tx = tx if tx is not None else make_optimizer(cfg, params)
         rng = jax.random.PRNGKey(cfg.seed)
         self.state = TrainState.create(params, self.tx, rng, batch_stats,
@@ -782,8 +809,10 @@ class Trainer:
             gathered["valid"] = jnp.asarray(batch["valid"])
             batch = gathered
         else:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()
-                     if k != "caption"}
+            # Multi-controller: keep host numpy — shard_batch assembles
+            # the global array from each process's local slice directly.
+            batch = {k: (v if self._nproc > 1 else jnp.asarray(v))
+                     for k, v in batch.items() if k != "caption"}
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh,
                                 self.cfg.mesh.axis_names[0])
@@ -794,6 +823,20 @@ class Trainer:
         if "valid" in batch:
             return int(np.asarray(batch["valid"]).sum())
         return int(np.asarray(batch["image"]).shape[0])
+
+    @staticmethod
+    def _device_count(prepared):
+        """GLOBAL example count of an assembled multi-controller batch.
+
+        Each host only knows its local slice of ``valid``; the global
+        count lives on device (the assembled array), so return it as a
+        replicated device scalar — ``_drain_pending`` resolves it in the
+        same stacked fetch as the losses, keeping the count-weighted
+        meters exactly equal to a single-process run's (including ragged
+        global tails that leave some hosts with all-padding slices)."""
+        if "valid" in prepared:
+            return prepared["valid"].sum()
+        return int(prepared["image"].shape[0])
 
     def _device_prefetch(self, loader: Iterable[Dict[str, Any]],
                          store=None):
@@ -866,12 +909,19 @@ class Trainer:
         fetch_every = 1 if per_step else max(1, self.cfg.metric_fetch_every)
         pending = []                    # [(device_loss_scalar, count), ...]
         last = {"loss": 0.0}
+        multi = self._nproc > 1
 
         def drain():
-            last["loss"] = self._drain_pending(pending, meter, last["loss"])
+            last["loss"], got = self._drain_pending(pending, meter,
+                                                    last["loss"])
+            if multi:
+                # Global counts only exist on device; fold the drained
+                # totals into throughput here instead of per step.
+                self.throughput.update(got)
 
         for raw, batch in bar:
-            count = self._count(raw)
+            count = (self._device_count(batch) if multi
+                     else self._count(raw))
             self.state, metrics = self.train_step(self.state, batch)
             pending.append((metrics["loss"], count))
             batches_done += 1
@@ -882,7 +932,8 @@ class Trainer:
                 # fetch_every == 1 here: drain() above just ran, so
                 # last["loss"] is THIS step's loss (reference main.py:60-61).
                 self._scheduler_step(last["loss"])
-            self.throughput.update(count)
+            if not multi:
+                self.throughput.update(count)
             if self.progress and hasattr(bar, "set_postfix"):
                 bar.set_postfix(train_loss=meter.avg,
                                 lr=current_lr(self.cfg, self.state.opt_state,
@@ -892,24 +943,41 @@ class Trainer:
         return meter
 
     @staticmethod
-    def _drain_pending(pending, meter: AvgMeter, last: float) -> float:
+    def _drain_pending(pending, meter: AvgMeter, last: float
+                       ) -> Tuple[float, float]:
         """Fetch all pending (device_loss, count) pairs in ONE device->host
         round trip (stack on device, one value fetch) and fold them into
         the meter. A per-scalar ``float()`` loop costs one full tunnel
         round trip EACH (~70 ms here) — at 26 ms device steps that, not
-        compute, dominated the epoch rate. Returns the newest loss."""
+        compute, dominated the epoch rate. Counts may be device scalars
+        (multi-controller global counts, ``_device_count``); they ride
+        the same stacked fetch. Zero-count entries (all-padding batches)
+        are skipped so the meter never divides by zero. Returns
+        (newest loss, total example count drained)."""
         if not pending:
-            return last
-        if len(pending) == 1:
-            last = float(pending[0][0])
-            meter.update(last, pending[0][1])
+            return last, 0
+        n = len(pending)
+        dev_counts = {i: c for i, (_, c) in enumerate(pending)
+                      if not isinstance(c, (int, np.integer))}
+        if n == 1 and not dev_counts:
+            vals = [float(pending[0][0])]
         else:
-            vals = np.asarray(jnp.stack([l for l, _ in pending]))
-            for v, (_, count) in zip(vals, pending):
-                last = float(v)
-                meter.update(last, count)
+            flat = np.asarray(jnp.stack(
+                [jnp.asarray(l, jnp.float32) for l, _ in pending]
+                + [jnp.asarray(c, jnp.float32)
+                   for c in dev_counts.values()]))
+            vals = [float(v) for v in flat[:n]]
+            for j, i in enumerate(dev_counts):
+                dev_counts[i] = float(flat[n + j])
+        total = 0
+        for i, (v, (_, c)) in enumerate(zip(vals, pending)):
+            count = dev_counts.get(i, c)
+            last = v
+            if count:
+                meter.update(v, count)
+            total += count
         pending.clear()
-        return last
+        return last, total
 
     def valid_epoch(self, loader: Iterable[Dict[str, Any]]) -> AvgMeter:
         meter = AvgMeter("valid_loss")
@@ -921,10 +989,12 @@ class Trainer:
         fetch_every = 1 if self.progress else max(
             1, self.cfg.metric_fetch_every)
         pending = []
+        multi = self._nproc > 1
         for batch in bar:
-            count = self._count(batch)
-            metrics = self.eval_step(
-                self.state, self._prepare(batch, store=self.valid_store))
+            prepared = self._prepare(batch, store=self.valid_store)
+            count = (self._device_count(prepared) if multi
+                     else self._count(batch))
+            metrics = self.eval_step(self.state, prepared)
             pending.append((metrics["loss"], count))
             if len(pending) >= fetch_every:
                 self._drain_pending(pending, meter, 0.0)

@@ -212,3 +212,48 @@ def test_image_cache_dedupes_by_filename(tmp_path):
     finally:
         ImageFileSource._load_path = orig
     assert len(decodes) == 4
+
+
+def test_make_loader_empty_host_slice(tmp_path):
+    """Ragged global tail that leaves a host with ZERO rows: the loader
+    must still emit a static-shape all-padding batch (valid all-False) so
+    every host runs the same number of steps (multi-host lockstep), and
+    the non-empty hosts' slices must be unchanged."""
+    import cv2
+
+    from mae_clip_tpu.data.pipeline import CaptionDataset, make_loader
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(5)
+    names, caps = [], []
+    for i in range(20):     # batch 16, 2 hosts: tail = 4 rows, host1 empty
+        name = str(img_dir / f"im{i}.jpg")
+        cv2.imwrite(name, rng.integers(0, 255, (40, 40, 3)).astype(np.uint8))
+        names.append(name)
+        caps.append(f"a photo number {i}")
+    tok = WordPieceTokenizer(build_vocab(caps, vocab_size=64))
+    ds = CaptionDataset(names, caps, tok, size=32, max_length=8,
+                        raw_uint8=True, patchify_size=16)
+
+    def batches(host_id, num_hosts):
+        return list(make_loader(ds, 16, host_id=host_id,
+                                num_hosts=num_hosts, num_threads=1))
+
+    single = batches(0, 1)
+    h0, h1 = batches(0, 2), batches(1, 2)
+    assert len(single) == len(h0) == len(h1) == 2
+
+    # Tail batch: host0 holds the 4 real rows, host1 is all padding.
+    assert h0[1]["valid"].sum() == 4 and h1[1]["valid"].sum() == 0
+    for k in ("image", "input_ids", "attention_mask", "valid"):
+        assert h1[1][k].shape == h0[1][k].shape
+        assert h1[1][k].dtype == h0[1][k].dtype
+        # Concatenated host slices == the single-host global batch.
+        for b in range(2):
+            np.testing.assert_array_equal(
+                np.concatenate([h0[b][k], h1[b][k]]), single[b][k],
+                err_msg=f"{k} batch {b}")
+    # Padding rows keep the one-valid-attention-token invariant.
+    assert (h1[1]["attention_mask"][:, 0] == 1).all()

@@ -407,3 +407,79 @@ def test_global_hard_ce_chunked_matches_unchunked():
                                atol=1e-5)
     for a, b in zip(g_local, g_chunked):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_one_device_mesh_chunked_loss_matches_unchunked_local():
+    """The 32k-on-one-chip recipe: a 1-DEVICE mesh with loss_chunk_size
+    set must route through the chunked shard_map loss (collectives
+    degenerate to identities) and produce exactly the unchunked local
+    step's loss — this is what lets BASELINE.json config 5 execute at
+    full batch on a single chip without 32k x 32k logits."""
+    from mae_clip_tpu.config import Config
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    from mae_clip_tpu.models.vit import ViTConfig
+    from mae_clip_tpu.parallel.mesh import create_mesh
+    from mae_clip_tpu.train.loop import make_train_step
+    from mae_clip_tpu.train.optim import make_optimizer
+    from mae_clip_tpu.train.state import TrainState
+
+    def build(chunk):
+        cfg = Config(model_name="vit_s16", image_embedding=16,
+                     projection_dim=8, size=16, max_length=8,
+                     batch_size=16, compute_dtype="float32", dropout=0.0,
+                     text_trainable=False, global_contrastive=True,
+                     loss_chunk_size=chunk)
+        model = CLIPModel(
+            cfg,
+            text_config=DistilBertConfig(vocab_size=64, dim=16, n_layers=1,
+                                         n_heads=2, hidden_dim=32,
+                                         max_position_embeddings=16),
+            vit_config=ViTConfig(image_size=16, patch_size=8, dim=16,
+                                 depth=1, n_heads=2, pos_embed="sincos"))
+        return cfg, model
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(16, 16, 16, 3)
+                                        ).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 64, size=(16, 8)
+                                              ).astype(np.int32)),
+        "attention_mask": jnp.ones((16, 8), jnp.int32),
+        "valid": jnp.asarray([True] * 14 + [False] * 2),
+    }
+
+    cfg, model = build(chunk=4)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(cfg, variables["params"])
+    one_dev = create_mesh(1, 1, devices=jax.devices()[:1])
+    losses = {}
+    for name, (c, mesh) in {
+        "chunked_1dev": (4, one_dev),
+        "local_unchunked": (0, None),
+    }.items():
+        cfg_i, model_i = build(chunk=c)
+        tx_i = make_optimizer(cfg_i, variables["params"])
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, variables["params"]),
+            tx_i, jax.random.PRNGKey(2))
+        step = make_train_step(model_i, tx_i, cfg_i, mesh=mesh)
+        _, metrics = step(state, batch)
+        losses[name] = float(metrics["clip_loss"])
+    np.testing.assert_allclose(losses["chunked_1dev"],
+                               losses["local_unchunked"], rtol=1e-6)
+
+    # And GradCache accumulation composes with the 1-device chunked path
+    # (the exact single-chip 32k recipe: accum microbatches + chunked
+    # full-batch objective).
+    cfg_a, model_a = build(chunk=4)
+    cfg_a = cfg_a.replace(accum_steps=4)
+    tx_a = make_optimizer(cfg_a, variables["params"])
+    state = TrainState.create(
+        jax.tree_util.tree_map(jnp.copy, variables["params"]),
+        tx_a, jax.random.PRNGKey(2))
+    step_a = make_train_step(model_a, tx_a, cfg_a, mesh=one_dev,
+                             accum_steps=4)
+    _, m_a = step_a(state, batch)
+    np.testing.assert_allclose(float(m_a["clip_loss"]),
+                               losses["local_unchunked"], rtol=1e-6)

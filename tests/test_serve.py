@@ -296,3 +296,149 @@ def test_service_zeroshot_trained_temperature_scoring():
     # At scale 2 the softmax is much softer than at the fixed 100: both
     # probabilities stay well inside (0.2, 0.8) for unit-norm features.
     assert all(0.2 < p < 0.8 for p in probs.values()), probs
+
+
+def test_micro_batcher_queue_cap_sheds_with_overloaded():
+    """max_queue bounds the waiting-item count: submits beyond it raise
+    Overloaded WITHOUT being enqueued (and count in items_shed), while
+    admitted requests complete normally."""
+    import threading
+    import time as _time
+
+    from mae_clip_tpu.serve import MicroBatcher, Overloaded
+
+    release = threading.Event()
+
+    def slow_fn(items):
+        release.wait(5)
+        return [x * 2 for x in items]
+
+    b = MicroBatcher(slow_fn, max_batch=1, max_wait_ms=1.0, max_queue=2)
+    try:
+        results, errors = [], []
+
+        def client(x):
+            try:
+                results.append(b.submit(x))
+            except Overloaded as e:
+                errors.append(e)
+
+        # First submit is dequeued by the worker (blocks in slow_fn);
+        # then fill the 2-slot queue, then overflow it.
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+            _time.sleep(0.05)   # deterministic arrival order
+        release.set()
+        for t in threads:
+            t.join(timeout=5)
+        assert len(errors) == 3 and len(results) == 3, (results, errors)
+        assert b.items_shed == 3
+        assert sorted(results) == [0, 2, 4]
+    finally:
+        release.set()
+        b.close()
+
+
+def test_micro_batcher_deadline_sheds_stale_requests():
+    """deadline_ms: items that waited longer than the deadline when the
+    worker dequeues them are failed fast with Overloaded — they never
+    cost a device call (fn sees only fresh items)."""
+    import threading
+    import time as _time
+
+    from mae_clip_tpu.serve import MicroBatcher, Overloaded
+
+    seen = []
+    gate = threading.Event()
+
+    def fn(items):
+        seen.append(list(items))
+        if not gate.is_set():
+            gate.set()
+            _time.sleep(0.4)     # make the NEXT queued item stale
+        return [x * 2 for x in items]
+
+    b = MicroBatcher(fn, max_batch=1, max_wait_ms=1.0, deadline_ms=100.0)
+    try:
+        out = {}
+
+        def client(x):
+            try:
+                out[x] = b.submit(x)
+            except Overloaded:
+                out[x] = "shed"
+
+        t1 = threading.Thread(target=client, args=(1,))
+        t2 = threading.Thread(target=client, args=(2,))
+        t1.start()
+        gate.wait(5)          # item 1 is inside fn, holding the worker
+        t2.start()            # item 2 queues and ages past 100 ms
+        t1.join(timeout=5)
+        t2.join(timeout=5)
+        assert out[1] == 2
+        assert out[2] == "shed"
+        assert seen == [[1]]          # the stale item never reached fn
+        assert b.items_shed == 1
+    finally:
+        b.close()
+
+
+def test_http_503_on_overload(service):
+    """The HTTP layer maps Overloaded to 503 (retryable), and /healthz
+    reports shed counts."""
+    import json as json_mod
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from mae_clip_tpu.serve import (MicroBatcher, make_server,
+                                    serve_forever_in_thread)
+
+    release = threading.Event()
+
+    def slow_fn(items):
+        release.wait(5)
+        return [{"matches": [], "scores": [], "indices": []}
+                for _ in items]
+
+    # Replace the service's batcher with a deliberately tiny-queue one.
+    service._batcher = MicroBatcher(slow_fn, max_batch=1, max_wait_ms=1.0,
+                                    max_queue=1)
+    server = make_server(service)
+    serve_forever_in_thread(server)
+    port = server.server_address[1]
+    try:
+        codes = []
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/retrieve",
+                data=json_mod.dumps({"query": "a dog"}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=10) as r:
+                    codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+
+        import time as _time
+        threads = [threading.Thread(target=post) for _ in range(4)]
+        for t in threads:
+            t.start()
+            _time.sleep(0.05)
+        release.set()
+        for t in threads:
+            t.join(timeout=10)
+        assert sorted(codes) == [200, 200, 503, 503], codes
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            health = json_mod.loads(r.read())
+        assert health["batcher"]["items_shed"] == 2
+    finally:
+        release.set()
+        service._batcher.close()
+        service._batcher = None
+        server.shutdown()

@@ -155,3 +155,68 @@ def test_shard_loader_native_patchify_path(tmp_path):
     # resamples slightly differently from decode-then-resize.
     assert np.mean(diff) < 3.0 and np.percentile(diff, 99) <= 12, (
         np.mean(diff), np.percentile(diff, 99))
+
+
+def test_shard_record_count_and_host_batch_counts(tmp_path):
+    """shard_record_count reads tar headers only and matches the real
+    record count; host_batch_counts reproduces each host's batch count
+    from any host (deterministic, coordination-free)."""
+    import cv2
+
+    from mae_clip_tpu.data.shards import (host_batch_counts,
+                                          iter_shard_records,
+                                          make_shard_loader,
+                                          shard_plan,
+                                          shard_record_count, write_shards)
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    records, caps = [], []
+    for i in range(15):
+        p = str(img_dir / f"im{i}.jpg")
+        cv2.imwrite(p, rng.integers(0, 255, (40, 40, 3)).astype(np.uint8))
+        records.append((p, f"caption number {i}"))
+        caps.append(f"caption number {i}")
+    paths = write_shards(records, str(tmp_path / "shards"), shard_size=3)
+    assert len(paths) == 5
+    pattern = str(tmp_path / "shards" / "shard-*.tar")
+
+    for p in paths:
+        assert shard_record_count(p) == len(list(iter_shard_records(p))) == 3
+
+    counts = host_batch_counts(pattern, batch_size=4, num_hosts=2,
+                               seed=1, epoch=0)
+    # 3-vs-2 shard strided split -> 9 vs 6 records -> 3 vs 2 batches.
+    assert sorted(counts) == [2, 3]
+
+    # Each count matches what the host's own loader actually yields.
+    tok = WordPieceTokenizer(build_vocab(caps, vocab_size=64))
+    for host in range(2):
+        got = list(make_shard_loader(pattern, tok, batch_size=4,
+                                     fixed_length=8, size=32,
+                                     host_id=host, num_hosts=2,
+                                     seed=1, epoch=0))
+        n_records = sum(
+            shard_record_count(s)
+            for s in shard_plan(pattern, host, 2, seed=1, epoch=0))
+        assert len(got) == counts[host] == -(-n_records // 4)
+
+    # pad_to_batches equalizes: the short host emits all-padding batches
+    # with identical static shapes.
+    pad_to = max(counts)
+    for host in range(2):
+        got = list(make_shard_loader(pattern, tok, batch_size=4,
+                                     fixed_length=8, size=32,
+                                     host_id=host, num_hosts=2,
+                                     seed=1, epoch=0,
+                                     pad_to_batches=pad_to))
+        assert len(got) == pad_to
+        assert sum(int(b["valid"].sum()) for b in got) == \
+            sum(shard_record_count(s)
+                for s in shard_plan(pattern, host, 2, seed=1, epoch=0))
+        for b in got:
+            assert b["image"].shape == got[0]["image"].shape
+            assert b["input_ids"].shape == (4, 8)
+            assert (b["attention_mask"][:, 0] == 1).all()

@@ -40,6 +40,62 @@ def _free_port() -> int:
     return port
 
 
+def _worker_env(process_id: int, num_processes: int, port: int,
+                devices_per_proc: int) -> dict:
+    """CPU-only env for a coordinated JAX subprocess (no axon site hook —
+    the TPU lease is exclusive; these proofs are about process topology).
+    Shares the suite's persistent compile cache so reruns skip the
+    dominant compile cost."""
+    env = dict(os.environ)
+    env.pop("PYTHONSTARTUP", None)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                        f"{devices_per_proc}")
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
+        "JAX_TEST_COMPILE_CACHE", "/tmp/mae_clip_tpu_test_compile_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    if num_processes > 1:
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = str(num_processes)
+        env["JAX_PROCESS_ID"] = str(process_id)
+    else:
+        for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID"):
+            env.pop(k, None)
+    return env
+
+
+def _run_cli_fleet(argv: list, num_processes: int,
+                   timeout: int = 540) -> list:
+    """Launch `python -m mae_clip_tpu.cli ...` on N coordinated processes
+    (the EXACT command docs/MULTIHOST.md documents); returns each
+    process's stdout. Asserts all exit 0."""
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "mae_clip_tpu.cli"] + argv,
+        env=_worker_env(i, num_processes, port,
+                        8 // num_processes),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(num_processes)]
+    outs = []
+    for i, p in enumerate(procs):
+        stdout, stderr = p.communicate(timeout=timeout)
+        assert p.returncode == 0, (
+            f"process {i} failed:\n{stdout}\n{stderr}")
+        outs.append(stdout)
+    return outs
+
+
+def _read_epoch_losses(logdir: str) -> list:
+    rows = []
+    with open(os.path.join(logdir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            rows.append((rec["step"], rec["loss/train"], rec["loss/val"]))
+    return rows
+
+
 def test_two_process_global_loss_matches_single_process(tmp_path):
     import cv2
 
@@ -183,3 +239,148 @@ def test_two_process_global_loss_matches_single_process(tmp_path):
         {k: jnp.asarray(v) for k, v in gbatch.items()})
     np.testing.assert_allclose(results[0]["loss_siglip"],
                                float(m_s["loss"]), rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Production-path proofs: the DOCUMENTED multi-host command (cli train on
+# every host, docs/MULTIHOST.md) driven end-to-end through Trainer.fit —
+# process-aware global-batch assembly (parallel.sharding.shard_batch ->
+# jax.make_array_from_process_local_data), host-sliced loaders, global
+# count-weighted meters, shared-directory Orbax checkpointing + resume.
+# ---------------------------------------------------------------------------
+
+def _tiny_cli_args(vocab, run_dir, logdir, epochs, batch_size,
+                   extra=()):
+    return ["--no-progress",
+            "--set", f"vocab_file={vocab}",
+            "--set", "model_name=vit_s16", "--set", "image_embedding=384",
+            "--set", f"batch_size={batch_size}",
+            "--set", f"epochs={epochs}",
+            "--set", "size=32", "--set", "max_length=12",
+            "--set", "compute_dtype=float32", "--set", "dropout=0.0",
+            "--set", "text_trainable=false",
+            "--set", "frozen_text_eval_mode=true",
+            "--set", f"checkpoints={run_dir}",
+            "--set", f"logdir={logdir}"] + list(extra)
+
+
+def _write_captions_dataset(tmp_path, n_rows, seed=3):
+    import cv2
+    data = tmp_path / "data"
+    img_dir = data / "Images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(seed)
+    rows = ["id,image,caption"]
+    words = ["dog", "cat", "red", "ball", "runs", "sits", "blue", "bird"]
+    captions = []
+    for i in range(n_rows):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8))
+        cap = "a photo of " + " ".join(rng.choice(words, size=3))
+        rows.append(f"{i},{name},{cap}")
+        captions.append(cap)
+    (data / "captions.csv").write_text("\n".join(rows))
+
+    from mae_clip_tpu.data.tokenizer import build_vocab, save_vocab
+    vocab = tmp_path / "vocab.txt"
+    save_vocab(build_vocab(captions, vocab_size=64), str(vocab))
+    return data, img_dir, vocab, captions
+
+
+def test_two_process_cli_train_csv_matches_single_process(tmp_path):
+    """`cli train --captions-dir` launched on 2 coordinated processes for
+    2 epochs produces the per-epoch train/valid losses of the identical
+    single-process run (the CSV path's contiguous host slices reassemble
+    the same global batches row-for-row), and `--resume` continues from
+    the shared Orbax directory. 24 rows / global batch 16 makes every
+    epoch's ragged tail leave host 1 with an EMPTY slice — the
+    all-padding-batch path must not change the metrics.
+
+    Tolerance: rtol 1e-4, NOT bit-equality. The multi-controller jit is
+    a different XLA program (the module is partitioned across processes;
+    fp32 reduction order differs), and one epoch of AdamW amplifies the
+    ~1e-8 per-step drift — measured 4.2e-6 relative on the epoch-0 valid
+    loss. A batch-assembly bug (wrong rows, wrong weighting, dropped
+    tail) moves the loss at the 1e-2..1e0 scale, far outside this
+    tolerance; the single-STEP bit-equality contract is pinned by
+    test_two_process_global_loss_matches_single_process above."""
+    data, img_dir, vocab, _ = _write_captions_dataset(tmp_path, n_rows=24)
+
+    def args(run, logs, epochs):
+        return (["train", "--captions-dir", str(data)]
+                + _tiny_cli_args(vocab, run, logs, epochs, 16,
+                                 extra=["--set", f"image_path={img_dir}"]))
+
+    outs2 = _run_cli_fleet(args(tmp_path / "run2p", tmp_path / "logs2p", 2),
+                           num_processes=2)
+    result2 = json.loads(outs2[0].strip().splitlines()[-1])
+    assert np.isfinite(result2["final_train_loss"])
+    assert outs2[1].strip() == "" or "final_train_loss" not in outs2[1], \
+        "non-zero processes must not write the final report"
+
+    outs1 = _run_cli_fleet(args(tmp_path / "run1p", tmp_path / "logs1p", 2),
+                           num_processes=1)
+    json.loads(outs1[0].strip().splitlines()[-1])
+
+    rows2 = _read_epoch_losses(str(tmp_path / "logs2p"))
+    rows1 = _read_epoch_losses(str(tmp_path / "logs1p"))
+    assert len(rows2) == len(rows1) == 2
+    for (e2, tr2, va2), (e1, tr1, va1) in zip(rows2, rows1):
+        assert e2 == e1
+        np.testing.assert_allclose(tr2, tr1, rtol=1e-4, err_msg="train")
+        np.testing.assert_allclose(va2, va1, rtol=1e-4, err_msg="valid")
+
+    # --resume from the shared checkpoint dir: picks up after epoch 1 and
+    # runs epoch 2 across both processes.
+    outs_r = _run_cli_fleet(
+        args(tmp_path / "run2p", tmp_path / "logs2p", 3) + ["--resume"],
+        num_processes=2)
+    assert "resumed: epoch 2" in outs_r[0]
+    rows_r = _read_epoch_losses(str(tmp_path / "logs2p"))
+    assert [r[0] for r in rows_r] == [0, 1, 2]
+    assert np.isfinite(rows_r[-1][1]) and np.isfinite(rows_r[-1][2])
+
+
+def test_two_process_cli_train_shards_uneven_hosts(tmp_path):
+    """`cli train --shards` on 2 processes whose shard subsets have
+    UNEQUAL record counts (5 shards x 3 records, strided split -> 9 vs 6
+    records): the deterministic step-count equalization
+    (data.shards.host_batch_counts + pad_to_batches) keeps the mesh
+    collectives in lockstep — without it the short host's loader ends
+    first and the run deadlocks."""
+    import cv2
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(11)
+    records, captions = [], []
+    words = ["dog", "cat", "red", "ball", "runs", "sits"]
+    for i in range(15):
+        p = img_dir / f"im{i}.jpg"
+        cv2.imwrite(str(p),
+                    rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8))
+        cap = "a photo of " + " ".join(rng.choice(words, size=3))
+        records.append((str(p), cap))
+        captions.append(cap)
+
+    from mae_clip_tpu.data.shards import host_batch_counts, write_shards
+    from mae_clip_tpu.data.tokenizer import build_vocab, save_vocab
+    shard_dir = tmp_path / "shards"
+    assert len(write_shards(records, str(shard_dir), shard_size=3)) == 5
+    pattern = str(shard_dir / "shard-*.tar")
+    vocab = tmp_path / "vocab.txt"
+    save_vocab(build_vocab(captions, vocab_size=64), str(vocab))
+
+    # local batch 4: the strided 3-vs-2-shard split really is uneven.
+    counts = host_batch_counts(pattern, 4, 2, seed=42, epoch=0)
+    assert sorted(counts) == [2, 3], counts
+
+    argv = (["train", "--shards", pattern]
+            + _tiny_cli_args(vocab, tmp_path / "run", tmp_path / "logs",
+                             epochs=1, batch_size=8))
+    outs = _run_cli_fleet(argv, num_processes=2)
+    result = json.loads(outs[0].strip().splitlines()[-1])
+    assert np.isfinite(result["final_train_loss"])
+    assert np.isfinite(result["final_valid_loss"])
+    rows = _read_epoch_losses(str(tmp_path / "logs"))
+    assert len(rows) == 1 and np.isfinite(rows[0][1])
