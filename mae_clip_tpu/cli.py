@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
-from typing import List, Optional
+from typing import Any, Dict, List, Optional
 
 from mae_clip_tpu.config import Config
 
@@ -90,7 +90,7 @@ def _tokenizer(cfg: Config):
 
 
 def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds,
-                       train_tf=None, valid_tf=None):
+                       train_tf=None, valid_tf=None, timings=None):
     """Stores + index-loader factories for ``cfg.device_data`` (replicated,
     or row-sharded over the mesh with ``device_data_sharded``). Shared by
     ``cmd_train`` and ``cmd_mae_pretrain``. Train factories are keyed by
@@ -102,7 +102,7 @@ def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds,
         from mae_clip_tpu.data.device_store import (
             build_sharded_device_store, make_sharded_index_loader)
         train_store = build_sharded_device_store(
-            train_ds, mesh=mesh, text_features=train_tf)
+            train_ds, mesh=mesh, text_features=train_tf, timings=timings)
         valid_store = (build_sharded_device_store(
             valid_ds, mesh=mesh, text_features=valid_tf)
             if cfg.device_data_eval else None)
@@ -119,7 +119,8 @@ def _device_data_setup(cfg: Config, mesh, train_ds, valid_ds,
     else:
         from mae_clip_tpu.data.device_store import (build_device_store,
                                                     make_index_loader)
-        train_store = build_device_store(train_ds, text_features=train_tf)
+        train_store = build_device_store(train_ds, text_features=train_tf,
+                                         timings=timings)
         valid_store = (build_device_store(valid_ds, text_features=valid_tf)
                        if cfg.device_data_eval else None)
 
@@ -241,6 +242,12 @@ def cmd_train(args) -> None:
             "stream per-host data instead (use --shards, or "
             "device_data=false — docs/MULTIHOST.md)")
 
+    # One-time setup attribution (VERDICT r3 item 6: the 50-70 min
+    # 100k-row setup was one opaque number) — phase seconds, reported as
+    # a single `setup_timings` JSON line before training starts.
+    import time as _time
+    setup: Dict[str, Any] = {}
+
     rng = np.random.default_rng(cfg.seed)
     example = {k: v for k, v in
                next(make_loader(train_ds, cfg.batch_size, num_threads=1,
@@ -253,9 +260,14 @@ def cmd_train(args) -> None:
         if augment:
             shape = (shape[0], cfg.size, cfg.size, shape[3])
         example = dict(example, image=np.zeros(shape, np.float32))
+    _t0 = _time.perf_counter()
     variables = jax.jit(
         lambda r, b: model.init(r, b, mask_rng=jax.random.PRNGKey(1))
     )(jax.random.PRNGKey(cfg.seed), example)
+    # Value fetch = the only true barrier on the remote-tunnel backend
+    # (block_until_ready returns early there; CLAUDE.md / BASELINE.md).
+    float(jax.tree_util.tree_leaves(variables)[0].ravel()[0])
+    setup["init_s"] = round(_time.perf_counter() - _t0, 3)
 
     if getattr(args, "init_from_mae", None):
         from mae_clip_tpu.interop.transfer import load_mae_encoder_into_clip
@@ -274,8 +286,10 @@ def cmd_train(args) -> None:
     if cfg.text_cache_enabled:
         from mae_clip_tpu.train.loop import precompute_text_features
         tv = dict(variables)
+        _t0 = _time.perf_counter()
         train_tf = precompute_text_features(model, tv, train_ds)
         valid_tf = precompute_text_features(model, tv, valid_ds)
+        setup["text_precompute_s"] = round(_time.perf_counter() - _t0, 3)
         if p0:
             print(f"cached frozen-text features: {train_tf.shape} train, "
                   f"{valid_tf.shape} valid")
@@ -284,10 +298,14 @@ def cmd_train(args) -> None:
     # gathered on device from (B,) index vectors (data.device_store).
     train_store = valid_store = train_loader = valid_loader = None
     if cfg.device_data:
+        _t0 = _time.perf_counter()
         (train_store, valid_store, train_loader,
          valid_loader) = _device_data_setup(
             cfg, mesh, train_ds, valid_ds,
-            train_tf=train_tf, valid_tf=valid_tf)
+            train_tf=train_tf, valid_tf=valid_tf, timings=setup)
+        setup["stage_s"] = round(_time.perf_counter() - _t0, 3)
+    if p0 and len(setup) > 1:
+        print(json.dumps({"setup_timings": setup}))
 
     mngr = CheckpointManager(cfg.checkpoints)
     step_mngr = None

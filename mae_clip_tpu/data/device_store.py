@@ -37,7 +37,8 @@ Design notes:
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+import time
+from typing import Dict, Iterable, Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -117,43 +118,145 @@ class DeviceStore:
         return out
 
 
-def _upload_chunked(big: np.ndarray, chunk_rows: int,
-                    sharding=None) -> "jax.Array":
+def _stream_upload(slabs: Iterable[Tuple[int, np.ndarray]],
+                   shape: Tuple[int, ...], dtype,
+                   sharding=None) -> "jax.Array":
+    """Stage row slabs into one (N, ...) device buffer as they arrive.
+
+    Preallocates the buffer directly at its final placement and fills it
+    with DONATED dynamic_update_slice calls: peak device memory stays at
+    N + one slab. (Concatenating device_put chunks would hold every chunk
+    alive while allocating the full result — ~2x the dataset, halving the
+    stageable capacity.) The start index is traced, so only two
+    executables compile: full slab and ragged tail. ``slabs`` may be any
+    iterator — a generator decoding lazily overlaps decode with upload.
+    """
     import jax
     import jax.numpy as jnp
 
     kw = {"device": sharding} if sharding is not None else {}
-    if len(big) <= chunk_rows:
-        return jax.device_put(big, **kw)
-
-    # Preallocate the (N, ...) buffer directly at its final placement and
-    # fill it with DONATED dynamic_update_slice calls: peak device memory
-    # stays at N + one chunk. (Concatenating device_put chunks would hold
-    # every chunk alive while allocating the full result — ~2x the
-    # dataset, halving the stageable capacity.) The start index is traced,
-    # so only two executables compile: full chunk and ragged tail.
-    buf = jax.jit(lambda: jnp.zeros(big.shape, big.dtype),
+    buf = jax.jit(lambda: jnp.zeros(shape, dtype),
                   **({"out_shardings": sharding}
                      if sharding is not None else {}))()
     place = jax.jit(
         lambda b, part, start: jax.lax.dynamic_update_slice(
             b, part, (start,) + (jnp.int32(0),) * (b.ndim - 1)),
         donate_argnums=(0,))
-    for s in range(0, len(big), chunk_rows):
-        part = jax.device_put(big[s:s + chunk_rows], **kw)
+    for s, slab in slabs:
+        part = jax.device_put(np.ascontiguousarray(slab), **kw)
         buf = place(buf, part, jnp.int32(s))
     return buf
 
 
-def _decode_all(dataset, num_threads: int, rows=None) -> np.ndarray:
-    """Thread-pool decode of ``dataset`` images (``rows``: a row subset;
-    default all) into one stacked array. Respects the dataset's native
-    fast path and host cache."""
-    import concurrent.futures as cf
+def _upload_chunked(big: np.ndarray, chunk_rows: int,
+                    sharding=None) -> "jax.Array":
+    import jax
 
-    rows = range(len(dataset)) if rows is None else list(rows)
+    kw = {"device": sharding} if sharding is not None else {}
+    if len(big) <= chunk_rows:
+        return jax.device_put(big, **kw)
+    return _stream_upload(
+        ((s, big[s:s + chunk_rows])
+         for s in range(0, len(big), chunk_rows)),
+        big.shape, big.dtype, sharding)
+
+
+def _decode_rows(dataset, rows, num_threads: int) -> np.ndarray:
+    """Decode a list of dataset rows into one stacked array.
+
+    Fast path: the native C thread pool (``imagepipe.cpp::ip_batch_files``
+    — ONE ctypes call for the whole slab, decode->resize->patchify fused,
+    no per-image Python) when the dataset is on the uint8-patches layout
+    and the native lib is built; rows the native decoder rejects (non-JPEG
+    files) fall back to ``load_image``. Otherwise a Python thread pool of
+    ``load_image`` (which itself respects the dataset's native single-image
+    path and host cache)."""
+    rows = list(rows)
+    if (getattr(dataset, "raw_uint8", False)
+            and getattr(dataset, "patchify_size", None)
+            and getattr(dataset, "_img_cache", None) is None
+            and getattr(dataset, "_native_enabled", lambda: False)()):
+        from mae_clip_tpu.data import native_images
+        prefix = dataset.image_path
+        paths = [f"{prefix}/{dataset.image_filenames[i]}" if prefix
+                 else dataset.image_filenames[i] for i in rows]
+        res = native_images.batch_files_to_patches(
+            paths, dataset.size, dataset.patchify_size, num_threads)
+        if res is not None:
+            out, failed = res
+            for j in np.nonzero(failed)[0]:
+                out[j] = dataset.load_image(rows[int(j)])
+            return out
+
+    import concurrent.futures as cf
     with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
         return np.stack(list(pool.map(dataset.load_image, rows)))
+
+
+def _decode_all(dataset, num_threads: int, rows=None) -> np.ndarray:
+    """Decode ``dataset`` images (``rows``: a row subset; default all)
+    into one stacked array — see ``_decode_rows`` for the path choice."""
+    rows = range(len(dataset)) if rows is None else list(rows)
+    return _decode_rows(dataset, rows, num_threads)
+
+
+def _overlapped_decode_upload(dataset, rows, num_threads: int,
+                              chunk_rows: int, sharding,
+                              timings: Optional[dict]) -> "jax.Array":
+    """Slab-pipelined staging: a producer thread decodes slab k+1 while
+    the main thread streams slab k to the device.
+
+    Both sides of the overlap release the GIL for their long stretches
+    (native/cv2 decode; tunnel H2D transfer), so on the 1-core host the
+    wall time approaches max(decode, upload) instead of their sum.
+    ``timings`` (optional dict) gains busy-time attribution: decode_s
+    (producer), upload_s (main-thread device_put+place), wall_s."""
+    import queue
+    import threading
+
+    rows = list(rows)
+    n = len(rows)
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+    t_decode = [0.0]
+
+    def producer():
+        try:
+            for s in range(0, n, chunk_rows):
+                t0 = time.perf_counter()
+                slab = _decode_rows(dataset, rows[s:s + chunk_rows],
+                                    num_threads)
+                t_decode[0] += time.perf_counter() - t0
+                q.put((s, slab))
+            q.put(None)
+        except BaseException as e:            # noqa: BLE001
+            q.put(e)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    t_wall = time.perf_counter()
+    thread.start()
+    t_upload = [0.0]
+
+    def slabs():
+        while True:
+            got = q.get()
+            if got is None:
+                return
+            if isinstance(got, BaseException):
+                raise got
+            t0 = time.perf_counter()
+            yield got
+            t_upload[0] += time.perf_counter() - t0
+
+    # Shape/dtype without decoding: ImageFileSource.sample_shape.
+    shape, dtype = dataset.sample_shape()
+    out = _stream_upload(slabs(), (n,) + shape, dtype, sharding)
+    thread.join()
+    if timings is not None:
+        timings["decode_s"] = round(t_decode[0], 3)
+        timings["upload_s"] = round(t_upload[0], 3)
+        timings["wall_s"] = round(time.perf_counter() - t_wall, 3)
+        timings["overlap"] = True
+    return out
 
 
 def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
@@ -161,9 +264,11 @@ def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
                        num_threads: int = 8,
                        chunk_bytes: int = 128 * 1024 * 1024,
                        sharding=None,
-                       dedup_images: bool = True) -> DeviceStore:
-    """Decode the whole dataset once (thread pool; respects the dataset's
-    native fast path and host cache) and stage it in device memory.
+                       dedup_images: bool = True,
+                       overlap: bool = True,
+                       timings: Optional[dict] = None) -> DeviceStore:
+    """Decode the whole dataset once (native bulk decoder / thread pool —
+    ``_decode_rows``) and stage it in device memory.
 
     ``dataset`` is an ``ImageFileSource`` (``CaptionDataset`` adds the
     token table). ``text_features`` (N, D) switches the store to the
@@ -177,8 +282,15 @@ def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
     row->image map — staged HBM drops by the duplication factor (5x on
     COCO, 2x on Flickr8k/synth) with bit-identical gathers. Applies when
     ``dataset`` exposes ``image_filenames`` and images aren't preloaded.
+
+    ``overlap`` (default on): pipeline decode with the slab uploads (a
+    producer thread decodes slab k+1 while slab k streams to the device)
+    — the host also never materializes the full decoded array.
+    ``timings``: optional dict filled with the setup attribution
+    (decode_s / upload_s / wall_s) for BASELINE-style breakdowns.
     """
     maps = None
+    rows_subset = None
     if images is None:
         fnames = getattr(dataset, "image_filenames", None)
         if dedup_images and fnames is not None:
@@ -186,14 +298,31 @@ def build_device_store(dataset, text_features: Optional[np.ndarray] = None,
             uniq, first_rows, inverse = np.unique(
                 fnames, return_index=True, return_inverse=True)
             if len(uniq) < len(fnames):
-                images = _decode_all(dataset, num_threads,
-                                     rows=first_rows.tolist())
+                rows_subset = first_rows.tolist()
                 maps = {"image": inverse.astype(np.int32)}
+        if rows_subset is None:
+            rows_subset = list(range(len(dataset)))
+
+    if images is None and overlap and hasattr(dataset, "sample_shape"):
+        shape, dtype = dataset.sample_shape()
+        per_row = int(np.prod(shape)) * dtype.itemsize
+        chunk = max(1, chunk_bytes // max(per_row, 1))
+        img_arr = _overlapped_decode_upload(
+            dataset, rows_subset, num_threads, chunk, sharding, timings)
+    else:
         if images is None:
-            images = _decode_all(dataset, num_threads)
-    per_row = int(np.prod(images.shape[1:])) * images.dtype.itemsize
-    rows = max(1, chunk_bytes // max(per_row, 1))
-    arrays = {"image": _upload_chunked(images, rows, sharding)}
+            t0 = time.perf_counter()
+            images = _decode_all(dataset, num_threads, rows=rows_subset)
+            if timings is not None:
+                timings["decode_s"] = round(time.perf_counter() - t0, 3)
+        per_row = int(np.prod(images.shape[1:])) * images.dtype.itemsize
+        chunk = max(1, chunk_bytes // max(per_row, 1))
+        t0 = time.perf_counter()
+        img_arr = _upload_chunked(images, chunk, sharding)
+        if timings is not None:
+            timings["upload_s"] = round(time.perf_counter() - t0, 3)
+            timings["overlap"] = False
+    arrays = {"image": img_arr}
     if text_features is not None:
         arrays["text_features"] = _upload_chunked(
             np.asarray(text_features), len(text_features), sharding)
@@ -319,7 +448,8 @@ def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
                                text_features: Optional[np.ndarray] = None,
                                images: Optional[np.ndarray] = None,
                                num_threads: int = 8,
-                               dedup_images: bool = True
+                               dedup_images: bool = True,
+                               timings: Optional[dict] = None
                                ) -> ShardedDeviceStore:
     """``build_device_store``'s row-sharded counterpart: decode once, pad
     to a multiple of the mesh '``axis``' size (zero rows; the sharded
@@ -341,6 +471,7 @@ def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
     maps = None
     n = None
     if images is None:
+        t0 = time.perf_counter()
         fnames = getattr(dataset, "image_filenames", None)
         if dedup_images and fnames is not None:
             storage, map_table = _dedup_decode_sharded(
@@ -349,8 +480,11 @@ def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
                 images, maps, n = storage, {"image": map_table}, len(fnames)
         if images is None:
             images = _decode_all(dataset, num_threads)
+        if timings is not None:
+            timings["decode_s"] = round(time.perf_counter() - t0, 3)
     if n is None:
         n = len(images)
+    t_up = time.perf_counter()
     rps = -(-n // d)
     pad = rps * d - n
 
@@ -377,6 +511,8 @@ def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
     elif dataset is not None and hasattr(dataset, "input_ids"):
         arrays["input_ids"] = put(dataset.input_ids)
         arrays["attention_mask"] = put(dataset.attention_mask)
+    if timings is not None:
+        timings["upload_s"] = round(time.perf_counter() - t_up, 3)
     return ShardedDeviceStore(arrays, mesh, axis, n_real=n, maps=maps)
 
 

@@ -578,3 +578,65 @@ def test_deduped_store_trains_identically_through_superstep():
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_overlapped_staging_matches_blocking_and_attributes_time():
+    """build_device_store's overlap pipeline (producer-thread decode
+    feeding donated streamed slab uploads) stages bit-identical arrays
+    to the blocking path, keeps dedup engaged, and fills the setup
+    attribution dict (VERDICT r3 item 6: the one-time setup was one
+    opaque number)."""
+    class FakeDS:
+        # 9 rows over 4 unique files -> dedup keeps 4 storage rows
+        image_filenames = [f"im{i % 4}.jpg" for i in range(9)]
+        input_ids = np.arange(18, dtype=np.int32).reshape(9, 2)
+        attention_mask = np.ones((9, 2), np.int32)
+
+        def __len__(self):
+            return 9
+
+        def sample_shape(self):
+            return (4, 4, 3), np.dtype(np.uint8)
+
+        def load_image(self, i):
+            return np.full((4, 4, 3), i % 4, np.uint8)
+
+    timings = {}
+    # chunk_bytes=100 -> 2-row slabs -> multiple stream iterations
+    s_over = build_device_store(FakeDS(), chunk_bytes=100, timings=timings)
+    s_block = build_device_store(FakeDS(), chunk_bytes=100, overlap=False)
+    assert timings["overlap"] is True
+    for k in ("decode_s", "upload_s", "wall_s"):
+        assert k in timings and timings[k] >= 0.0
+    assert s_over.arrays["image"].shape[0] == 4          # dedup held
+    idx = jnp.asarray(np.arange(9, dtype=np.int32))
+    a, b = s_over.gather(idx), s_block.gather(idx)
+    np.testing.assert_array_equal(np.asarray(a["image"]),
+                                  np.asarray(b["image"]))
+    np.testing.assert_array_equal(np.asarray(a["input_ids"]),
+                                  np.asarray(b["input_ids"]))
+    # blocking arm records its own (non-overlap) attribution
+    t2 = {}
+    build_device_store(FakeDS(), overlap=False, timings=t2)
+    assert t2["overlap"] is False and "decode_s" in t2 and "upload_s" in t2
+
+
+def test_overlapped_staging_propagates_decode_errors():
+    """A decode failure in the producer thread surfaces in the caller,
+    not as a hang or a zero-filled store."""
+    import pytest
+
+    class BadDS:
+        image_filenames = ["a.jpg", "b.jpg", "c.jpg"]
+
+        def __len__(self):
+            return 3
+
+        def sample_shape(self):
+            return (4, 4, 3), np.dtype(np.uint8)
+
+        def load_image(self, i):
+            raise ValueError("decode boom")
+
+    with pytest.raises(ValueError, match="decode boom"):
+        build_device_store(BadDS(), dedup_images=False)
