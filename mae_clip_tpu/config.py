@@ -94,6 +94,12 @@ class Config:
     patience: int = 2
     factor: float = 0.5
     epochs: int = 10
+    # Stop when valid loss hasn't improved for this many consecutive
+    # epochs (0 = never; the reference trains a fixed epoch budget,
+    # main.py:103-126). ``epochs`` stays the hard cap. Used by the
+    # convergence protocol in results/synth32k (run-to-plateau claims
+    # instead of fixed-budget artifacts).
+    early_stop_patience: int = 0
 
     model_name: str = "resnet50"     # image tower: resnet50 | vit_s16 | vit_b16
     image_embedding: int = 2048
@@ -337,6 +343,9 @@ class Config:
             raise ValueError("ema_decay must be in [0, 1) (0 disables)")
         if self.checkpoint_every < 0:
             raise ValueError("checkpoint_every must be >= 0 (0 disables)")
+        if self.early_stop_patience < 0:
+            raise ValueError(
+                "early_stop_patience must be >= 0 (0 disables)")
         if self.checkpoint_every_steps < 0:
             raise ValueError(
                 "checkpoint_every_steps must be >= 0 (0 disables)")

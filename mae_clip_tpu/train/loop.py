@@ -1083,6 +1083,7 @@ class Trainer:
         losses."""
         cfg = self.cfg
         history = {"train_loss": [], "valid_loss": []}
+        best_epoch = start_epoch - 1
         for epoch in range(start_epoch,
                            epochs if epochs is not None else cfg.epochs):
             self._epoch = epoch
@@ -1101,6 +1102,7 @@ class Trainer:
             is_best = valid_meter.avg < self.best_loss
             if is_best:
                 self.best_loss = valid_meter.avg
+                best_epoch = epoch
             # Cadence (cfg.checkpoint_every): best-val epochs always saved
             # (reference main.py:118-122 saves ONLY on best), plus every N
             # epochs and the final one; 0 disables saving.
@@ -1129,4 +1131,14 @@ class Trainer:
                     history.setdefault(k, []).append(v)
             if self.writer is not None:
                 self.writer.write_scalars(epoch, scalars)
+            # Early stop on valid-loss plateau (cfg.early_stop_patience
+            # epochs without a new best; 0 = reference behavior, fixed
+            # budget). Runs AFTER checkpoint/metrics so the stopping
+            # epoch is fully recorded.
+            if (cfg.early_stop_patience > 0
+                    and epoch - best_epoch >= cfg.early_stop_patience):
+                history["stopped_early"] = True
+                break
+        history["best_epoch"] = best_epoch
+        history["best_valid_loss"] = self.best_loss
         return history

@@ -846,3 +846,32 @@ def test_mid_epoch_step_checkpoint_resume_bit_identical(tmp_path):
     straight.step_checkpoint_manager.close()
     resumed.step_checkpoint_manager.close()
     broken.step_checkpoint_manager.close()
+
+
+def test_early_stop_patience_halts_on_plateau():
+    """cfg.early_stop_patience stops fit() when valid loss plateaus.
+
+    lr=0 freezes the params, so epoch 0 is the only best; patience=2
+    must halt after epoch 2 of a 10-epoch budget and record best_epoch.
+    Patience 0 (default, reference behavior main.py:103-126) runs the
+    full budget.
+    """
+    cfg = tiny_cfg(epochs=10, lr=0.0, head_lr=0.0, image_encoder_lr=0.0,
+                   text_encoder_lr=0.0, early_stop_patience=2,
+                   checkpoint_every=0)
+    model, variables, _ = build(cfg)
+    rng = np.random.default_rng(0)
+    trainer = Trainer(cfg, model, variables["params"])
+    history = trainer.fit(_loaders(rng), _loaders(rng, n_batches=2))
+    assert history["stopped_early"] is True
+    assert len(history["train_loss"]) == 3          # epochs 0, 1, 2
+    assert history["best_epoch"] == 0
+    assert history["best_valid_loss"] == history["valid_loss"][0]
+
+    cfg2 = tiny_cfg(epochs=3, lr=0.0, head_lr=0.0, image_encoder_lr=0.0,
+                    text_encoder_lr=0.0, checkpoint_every=0)
+    model2, variables2, _ = build(cfg2)
+    trainer2 = Trainer(cfg2, model2, variables2["params"])
+    history2 = trainer2.fit(_loaders(rng), _loaders(rng, n_batches=2))
+    assert "stopped_early" not in history2
+    assert len(history2["train_loss"]) == 3
