@@ -18,9 +18,11 @@ cd /root/repo
 
 run() {   # run <name> <env...>
   local name=$1; shift
+  # Full output to .full.log (a failed arm's traceback must survive);
+  # the one-line result to .log for the summary.
   timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site "$@" \
-    python examples/measure_32k.py 2>&1 | grep '"arm"' \
-    | tee "$OUT/${name}.log"
+    python examples/measure_32k.py > "$OUT/${name}.full.log" 2>&1
+  grep '"arm"' "$OUT/${name}.full.log" | tee "$OUT/${name}.log"
 }
 
 for i in $(seq 1 "$N"); do
