@@ -100,6 +100,12 @@ class Config:
     # convergence protocol in results/synth32k (run-to-plateau claims
     # instead of fixed-budget artifacts).
     early_stop_patience: int = 0
+    # Cadence for the optional eval_fn (retrieval recall@K etc.): run it
+    # every N epochs, plus always on best-val and final epochs. 1 =
+    # every epoch. Valid loss (the early-stop signal) is computed every
+    # epoch regardless. At synth32k scale the retrieval eval dominates
+    # the epoch tail, so convergence runs set this to 3-5.
+    eval_every: int = 1
 
     model_name: str = "resnet50"     # image tower: resnet50 | vit_s16 | vit_b16
     image_embedding: int = 2048
@@ -346,6 +352,8 @@ class Config:
         if self.early_stop_patience < 0:
             raise ValueError(
                 "early_stop_patience must be >= 0 (0 disables)")
+        if self.eval_every < 1:
+            raise ValueError("eval_every must be >= 1")
         if self.checkpoint_every_steps < 0:
             raise ValueError(
                 "checkpoint_every_steps must be >= 0 (0 disables)")

@@ -19,6 +19,7 @@ Epoch semantics mirror the reference:
 from __future__ import annotations
 
 import functools
+import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
@@ -1087,11 +1088,14 @@ class Trainer:
         for epoch in range(start_epoch,
                            epochs if epochs is not None else cfg.epochs):
             self._epoch = epoch
+            t0 = time.perf_counter()
             train_meter = self.train_epoch(
                 self._call_loader(train_loader_fn, epoch),
                 skip_batches=skip_batches if epoch == start_epoch else 0)
+            t1 = time.perf_counter()
             valid_meter = self.valid_epoch(
                 self._call_loader(valid_loader_fn, epoch))
+            t2 = time.perf_counter()
             # Reference quirk: with recipe='py' the epoch-mode scheduler is
             # never stepped (main.py:60-61,107) -> LR stays constant.
             if cfg.scheduler_step == "epoch" and cfg.recipe == "notebook":
@@ -1116,6 +1120,7 @@ class Trainer:
                     metrics={"valid_loss": valid_meter.avg},
                     scheduler=self.scheduler.state_dict(),
                     best_loss=self.best_loss, is_best=is_best)
+            t3 = time.perf_counter()
             scalars = {
                 "loss/train": train_meter.avg,
                 "loss/val": valid_meter.avg,
@@ -1123,9 +1128,21 @@ class Trainer:
                                  int(self.state.step)),
                 "throughput/examples_per_sec_per_chip":
                     self.throughput.examples_per_sec_per_chip,
+                # Epoch-tail attribution (VERDICT r3 asked for setup/epoch
+                # cost breakdowns): where the non-train seconds go.
+                "time/train_s": round(t1 - t0, 3),
+                "time/valid_s": round(t2 - t1, 3),
+                "time/ckpt_s": round(t3 - t2, 3),
             }
-            if eval_fn is not None:
+            # eval_fn cadence: every cfg.eval_every epochs plus the final
+            # one (the best-val checkpoint's full metrics come from the
+            # separate `cli eval` battery, so no is_best trigger — that
+            # would fire every epoch while the run is still improving).
+            eval_due = eval_fn is not None and (
+                epoch == last or (epoch + 1) % cfg.eval_every == 0)
+            if eval_due:
                 extra = eval_fn(self, epoch) or {}
+                scalars["time/eval_s"] = round(time.perf_counter() - t3, 3)
                 scalars.update(extra)
                 for k, v in extra.items():
                     history.setdefault(k, []).append(v)

@@ -875,3 +875,58 @@ def test_early_stop_patience_halts_on_plateau():
     history2 = trainer2.fit(_loaders(rng), _loaders(rng, n_batches=2))
     assert "stopped_early" not in history2
     assert len(history2["train_loss"]) == 3
+
+
+def test_eval_every_cadence():
+    """cfg.eval_every gates eval_fn to every-N epochs plus best-val and
+    final epochs; timing scalars are always emitted.
+
+    With eval_every=3 over 6 epochs, eval_fn must fire at epochs 2 and
+    5 ((epoch+1) % 3 == 0; 5 is also final) and nowhere else — not on
+    best-val epochs, which would fire every epoch of an improving run.
+    eval_every=1 (default) fires every epoch — the pre-cadence behavior.
+    """
+    cfg = tiny_cfg(epochs=6, lr=0.0, head_lr=0.0, image_encoder_lr=0.0,
+                   text_encoder_lr=0.0, eval_every=3, checkpoint_every=0)
+    model, variables, _ = build(cfg)
+    rng = np.random.default_rng(0)
+    trainer = Trainer(cfg, model, variables["params"])
+    fired = []
+    history = trainer.fit(
+        _loaders(rng), _loaders(rng, n_batches=2),
+        eval_fn=lambda tr, ep: (fired.append(ep) or {"eval/recall@1": 0.5}))
+    assert fired == [2, 5]
+    assert history["eval/recall@1"] == [0.5] * 2
+
+    cfg1 = tiny_cfg(epochs=3, lr=0.0, head_lr=0.0, image_encoder_lr=0.0,
+                    text_encoder_lr=0.0, checkpoint_every=0)
+    model1, variables1, _ = build(cfg1)
+    trainer1 = Trainer(cfg1, model1, variables1["params"])
+    fired1 = []
+    trainer1.fit(_loaders(rng), _loaders(rng, n_batches=2),
+                 eval_fn=lambda tr, ep: (fired1.append(ep) or {}))
+    assert fired1 == [0, 1, 2]
+
+
+def test_fit_emits_phase_timing_scalars(tmp_path):
+    """Trainer.fit writes time/train_s, time/valid_s, time/ckpt_s each
+    epoch and time/eval_s on eval epochs (epoch-tail attribution)."""
+    import json
+    from mae_clip_tpu.train.metrics import MetricWriter
+
+    cfg = tiny_cfg(epochs=2, logdir=str(tmp_path / "logs"),
+                   checkpoint_every=0)
+    model, variables, _ = build(cfg)
+    rng = np.random.default_rng(0)
+    writer = MetricWriter(cfg.logdir)
+    trainer = Trainer(cfg, model, variables["params"], writer=writer)
+    trainer.fit(_loaders(rng), _loaders(rng, n_batches=2),
+                eval_fn=lambda tr, ep: {"eval/recall@1": 0.0})
+    writer.close()
+    rows = [json.loads(l) for l in
+            open(f"{cfg.logdir}/metrics.jsonl")]
+    assert len(rows) == 2
+    for row in rows:
+        for key in ("time/train_s", "time/valid_s", "time/ckpt_s",
+                    "time/eval_s"):
+            assert key in row and row[key] >= 0.0
