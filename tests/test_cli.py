@@ -495,3 +495,35 @@ def test_cli_train_device_data_without_valid_store(tmp_path, capsys):
     result = json_mod.loads(out.strip().splitlines()[-1])
     assert np.isfinite(result["final_train_loss"])
     assert np.isfinite(result["final_valid_loss"])   # file-loader valid
+
+
+def test_summarize_convergence_script(tmp_path):
+    """examples/summarize_convergence.py: best-epoch/eval/timing summary
+    from a Trainer metrics.jsonl."""
+    import json as _json
+    import subprocess
+    import sys
+
+    rows = [
+        {"step": 0, "loss/train": 3.0, "loss/val": 2.5,
+         "throughput/examples_per_sec_per_chip": 100.0,
+         "time/train_s": 3.0, "time/valid_s": 1.0, "time/ckpt_s": 0.1},
+        {"step": 1, "loss/train": 2.0, "loss/val": 2.0,
+         "throughput/examples_per_sec_per_chip": 9000.0,
+         "time/train_s": 2.9, "time/valid_s": 1.1, "time/ckpt_s": 0.1,
+         "time/eval_s": 40.0, "eval/recall@1": 0.2, "eval/recall@5": 0.5},
+        {"step": 2, "loss/train": 1.9, "loss/val": 2.1,
+         "throughput/examples_per_sec_per_chip": 9100.0,
+         "time/train_s": 3.1, "time/valid_s": 0.9, "time/ckpt_s": 0.1},
+    ]
+    p = tmp_path / "metrics.jsonl"
+    p.write_text("".join(_json.dumps(r) + "\n" for r in rows))
+    out = subprocess.run(
+        [sys.executable, "examples/summarize_convergence.py", str(p)],
+        capture_output=True, text=True, cwd="/root/repo", check=True)
+    s = _json.loads(out.stdout)
+    assert s["epochs_run"] == 3
+    assert s["best_epoch"] == 1 and s["best_valid_loss"] == 2.0
+    assert s["last_eval_epoch"] == 1 and s["eval/recall@5"] == 0.5
+    assert s["sustained_pairs_per_s"] == 9050.0
+    assert s["time/eval_s_median"] == 40.0
