@@ -339,7 +339,8 @@ def cmd_train(args) -> None:
         from mae_clip_tpu.eval.retrieval import make_retrieval_eval_fn
         eval_fn = make_retrieval_eval_fn(
             model, valid_ds, lambda d, b: make_loader(d, b),
-            batch_size=cfg.batch_size, store=valid_store)
+            batch_size=cfg.batch_size, store=valid_store,
+            text_features=valid_tf)
 
     start_epoch, skip_batches = 0, 0
     if getattr(args, "resume", False):

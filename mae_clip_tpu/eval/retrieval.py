@@ -139,14 +139,27 @@ def show_matches(matches: Sequence[str], image_path: str = "") -> None:
 def make_retrieval_eval_fn(model, dataset, make_loader_fn, batch_size: int,
                            ks: Sequence[int] = (1, 5, 10),
                            max_samples: Optional[int] = 1000,
-                           store=None):
+                           store=None, text_features=None):
     """Build a ``Trainer.fit(eval_fn=...)`` hook computing retrieval
     recall@K on (a subsample of) a caption dataset each epoch.
 
     Uses the dataset's caption<->image pairing: text query i's ground truth
     is image i (one row per caption, images repeated — the reference's
     gallery layout, inference.py:46-47).
+
+    ``text_features``: the LiT-style frozen-text feature cache
+    (``precompute_text_features`` output, row-aligned with ``dataset``).
+    When given, the per-epoch hook projects the cached 768-d features
+    through the (trainable) text projection head instead of re-running
+    the full frozen DistilBERT on the same captions every eval — the
+    same cached branch the train step uses (models/clip.py
+    ``text_features`` path; equivalence pinned in test_text_cache.py).
     """
+    project = None
+    if text_features is not None:
+        @jax.jit
+        def project(variables, feats):
+            return model.apply(variables, feats, method=model.project_text)
 
     def eval_fn(trainer, epoch):
         del epoch
@@ -164,9 +177,13 @@ def make_retrieval_eval_fn(model, dataset, make_loader_fn, batch_size: int,
             image_emb = compute_image_embeddings(
                 model, variables, loader, max_batches=-(-n // batch_size))
 
-        text_emb = jnp.asarray(compute_text_embeddings(
-            model, variables, dataset.input_ids[:n],
-            dataset.attention_mask[:n], batch_size))
+        if project is not None:
+            text_emb = project(variables,
+                               jnp.asarray(text_features[:n]))
+        else:
+            text_emb = jnp.asarray(compute_text_embeddings(
+                model, variables, dataset.input_ids[:n],
+                dataset.attention_mask[:n], batch_size))
         # Ground truth by image FILENAME: the gallery has one row per
         # caption (images repeated 5x in COCO/Flickr), so any row of the
         # right image counts as a hit. K is clamped to the gallery size

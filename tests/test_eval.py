@@ -490,3 +490,51 @@ def test_siglip_zero_shot_probs_formula_and_ranking():
     soft = np.asarray(zero_shot_probs(jnp.array(emb), jnp.array(cls_n)))
     np.testing.assert_array_equal(np.argsort(-got, axis=1),
                                   np.argsort(-soft, axis=1))
+
+
+def test_retrieval_eval_fn_cached_text_matches_tokens_path():
+    """The per-epoch hook fed the LiT frozen-text feature cache
+    (text_features=) must reproduce the full-tower path's recalls: with a
+    frozen eval-mode text tower, project_text(cached_features) IS
+    encode_text->project_text (the train step's cached branch,
+    models/clip.py text_features path)."""
+    from mae_clip_tpu.config import Config
+    from mae_clip_tpu.models.clip import CLIPModel
+    from mae_clip_tpu.models.distilbert import DistilBertConfig
+    from mae_clip_tpu.models.vit import ViTConfig
+    from mae_clip_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+    from mae_clip_tpu.data.pipeline import CaptionDataset, make_loader
+    from mae_clip_tpu.eval.retrieval import make_retrieval_eval_fn
+    from mae_clip_tpu.train.loop import Trainer, precompute_text_features
+
+    captions = [f"object number {i}" for i in range(6)]
+    filenames = [f"{i // 2}.jpg" for i in range(6)]
+    tok = WordPieceTokenizer(build_vocab(captions, vocab_size=64,
+                                         min_frequency=1))
+    images = np.random.default_rng(0).normal(
+        size=(6, 16, 16, 3)).astype(np.float32)
+    ds = CaptionDataset(filenames, captions, tok, size=16, max_length=16)
+
+    cfg = Config(model_name="vit_s16", projection_dim=8, size=16,
+                 compute_dtype="float32", max_length=16, batch_size=4,
+                 text_trainable=False, frozen_text_eval_mode=True)
+    model = CLIPModel(
+        cfg,
+        text_config=DistilBertConfig(vocab_size=tok.vocab_size, dim=16,
+                                     n_layers=1, n_heads=2, hidden_dim=32,
+                                     max_position_embeddings=32),
+        vit_config=ViTConfig(image_size=16, patch_size=8, dim=16, depth=1,
+                             n_heads=2))
+    batch = next(make_loader(ds, 4, images=images, num_threads=1))
+    variables = model.init(jax.random.PRNGKey(0),
+                           {k: jnp.asarray(v) for k, v in batch.items()})
+    trainer = Trainer(cfg, model, variables["params"])
+    loader_fn = lambda d, b: make_loader(d, b, images=images, num_threads=1)
+
+    full = make_retrieval_eval_fn(model, ds, loader_fn, batch_size=4,
+                                  ks=(1, 3), max_samples=None)(trainer, 0)
+    tf = precompute_text_features(model, variables, ds)
+    cached = make_retrieval_eval_fn(model, ds, loader_fn, batch_size=4,
+                                    ks=(1, 3), max_samples=None,
+                                    text_features=tf)(trainer, 0)
+    assert cached == full
