@@ -101,10 +101,11 @@ class Config:
     # instead of fixed-budget artifacts).
     early_stop_patience: int = 0
     # Cadence for the optional eval_fn (retrieval recall@K etc.): run it
-    # every N epochs, plus always on best-val and final epochs. 1 =
-    # every epoch. Valid loss (the early-stop signal) is computed every
-    # epoch regardless. At synth32k scale the retrieval eval dominates
-    # the epoch tail, so convergence runs set this to 3-5.
+    # every N epochs, plus always on the final epoch (incl. the epoch an
+    # early stop triggers on). 1 = every epoch. Valid loss (the
+    # early-stop signal) is computed every epoch regardless. At synth32k
+    # scale the retrieval eval dominates the epoch tail, so convergence
+    # runs set this to 3-5.
     eval_every: int = 1
 
     model_name: str = "resnet50"     # image tower: resnet50 | vit_s16 | vit_b16
@@ -275,7 +276,10 @@ class Config:
     # microbatch), at ~1.5x step FLOPs but O(microbatch) activation
     # memory. This is what makes the 32k recipe (BASELINE.json config 5)
     # a true 32k x 32k objective on few chips. Requires batch_size %
-    # accum_steps == 0 and a BatchNorm-free tower (ViT, not resnet50).
+    # accum_steps == 0. BatchNorm towers (resnet50) are supported with
+    # torch accumulation semantics: each microbatch normalizes by its
+    # own statistics, running stats update sequentially (giant-batch
+    # equality holds exactly only for stat-free towers like ViT).
     accum_steps: int = 1
     # Inner optimizer for every trainable param group: "adamw" (the
     # reference's, main.py:101-103), "lamb" (layerwise trust-ratio AdamW,

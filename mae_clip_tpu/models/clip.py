@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,7 @@ from mae_clip_tpu.config import Config
 from mae_clip_tpu.models.distilbert import DistilBertConfig, TextEncoder
 from mae_clip_tpu.models.mae import MAEDecoderConfig, MAEOutput, MAEViT
 from mae_clip_tpu.models.projection import ProjectionHead
-from mae_clip_tpu.models.resnet import resnet50
+from mae_clip_tpu.models.resnet import ResNet, resnet50
 from mae_clip_tpu.models.vit import VIT_B16, VIT_S16, ViTConfig, ViTEncoder
 from mae_clip_tpu.ops import losses as losses_lib
 
@@ -97,6 +97,11 @@ class CLIPModel(nn.Module):
     # Explicit ViT geometry override (tests / custom towers); defaults to
     # the geometry implied by cfg.model_name.
     vit_config: Optional[ViTConfig] = None
+    # Explicit ResNet geometry override: (stage_sizes, widths) tuples
+    # (tests / shallow BN towers — a full random-init resnet50 is
+    # numerically chaotic through 53 BatchNorm divisions, so exactness
+    # tests need a shallow stack); None = the reference's resnet50.
+    resnet_shape: Optional[Tuple[Tuple[int, ...], Tuple[int, ...]]] = None
 
     def setup(self):
         cfg = self.cfg
@@ -119,7 +124,12 @@ class CLIPModel(nn.Module):
         if cfg.model_name == "resnet50":
             if cfg.mae.enabled:
                 raise ValueError("MAE requires a ViT image tower")
-            self.image_encoder = resnet50(**common)
+            if self.resnet_shape is not None:
+                stages, widths = self.resnet_shape
+                self.image_encoder = ResNet(stage_sizes=tuple(stages),
+                                            widths=tuple(widths), **common)
+            else:
+                self.image_encoder = resnet50(**common)
         else:
             vcfg = _resolved_vit_config(cfg, self.vit_config)
             if cfg.mae.enabled:

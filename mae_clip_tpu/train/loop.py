@@ -202,14 +202,21 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
     but O(microbatch) activation memory — so the "32k batch" recipe is a
     true 32k x 32k contrastive objective. ``False`` restores the cheaper
     per-microbatch approximation (contrastive batch == microbatch x DP).
+
+    BatchNorm towers (resnet50, reference modules.py:17-19): both accum
+    modes run with torch gradient-accumulation semantics — train-mode BN
+    normalizes each microbatch by its own statistics and running stats
+    update sequentially across microbatches — so giant-batch equality is
+    exact only for stat-free towers (ViT/LayerNorm); the contrastive
+    objective is still the full batch_size x batch_size matrix.
     """
     clip_loss_fn = _clip_loss_fn(cfg, mesh)
 
-    def loss_for(state, batch, rng, params):
+    def loss_for(stats, batch, rng, params):
         valid = batch.get("valid")
         variables = {"params": params}
-        if state.batch_stats is not None:
-            variables["batch_stats"] = state.batch_stats
+        if stats is not None:
+            variables["batch_stats"] = stats
         out, new_stats = _forward(model, variables, batch, True, rng, cfg)
         clip_loss = clip_loss_fn(out["image_embeddings"],
                                  out["text_embeddings"], valid,
@@ -228,19 +235,26 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
                                 + x.shape[1:]), batch)
 
     def _legacy_accum(state, batch, rng):
-        """Per-microbatch contrastive approximation (pre-GradCache)."""
+        """Per-microbatch contrastive approximation (pre-GradCache).
+
+        BatchNorm towers: each microbatch normalizes by its OWN batch
+        statistics and the running stats are updated sequentially,
+        microbatch i+1 seeing i's EMA update — exactly torch's gradient
+        accumulation semantics for BN."""
         micro = _microbatches(batch)
 
         def scan_body(carry, mb):
-            acc_grads, acc_metrics, i = carry
+            acc_grads, acc_metrics, stats, i = carry
             mb_rng = jax.random.fold_in(rng, i)
-            (_, (metrics, _)), grads = jax.value_and_grad(
-                loss_for, argnums=3, has_aux=True)(state, mb, mb_rng,
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_for, argnums=3, has_aux=True)(stats, mb, mb_rng,
                                                    state.params)
             acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
             acc_metrics = jax.tree_util.tree_map(jnp.add, acc_metrics,
                                                  metrics)
-            return (acc_grads, acc_metrics, i + 1), None
+            if stats is None:       # stat-free tower: keep carry static
+                new_stats = None
+            return (acc_grads, acc_metrics, new_stats, i + 1), None
 
         zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         proto_m = {"clip_loss": 0.0, "loss": 0.0}
@@ -248,17 +262,28 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
             proto_m["mae_loss"] = 0.0
         zeros_m = jax.tree_util.tree_map(
             lambda _: jnp.zeros((), jnp.float32), proto_m)
-        (grads, metrics, _), _ = jax.lax.scan(
-            scan_body, (zeros_g, zeros_m, jnp.zeros((), jnp.int32)), micro)
+        (grads, metrics, new_stats, _), _ = jax.lax.scan(
+            scan_body,
+            (zeros_g, zeros_m, state.batch_stats, jnp.zeros((), jnp.int32)),
+            micro)
         grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
         metrics = jax.tree_util.tree_map(lambda m: m / accum_steps, metrics)
-        return grads, metrics
+        return grads, metrics, new_stats
 
     def _gradcache_accum(state, batch, rng):
         """GradCache two-pass accumulation: loss AND grads bit-match the
         giant-batch step (same full-batch masking rng recipe as
         ``_forward``; microbatch denominators are equal because the masked
-        count per sample is static, so mean-of-means == global mean)."""
+        count per sample is static, so mean-of-means == global mean).
+
+        BatchNorm towers (resnet50): train-mode BN normalizes by the
+        CURRENT microbatch's statistics — never the running stats — so
+        pass 2 reproduces pass 1's forward exactly regardless of which
+        running stats are fed, and the embedding cotangents stay valid.
+        Giant-batch equality then holds per-microbatch-normalization
+        (torch gradient-accumulation semantics), not per-full-batch BN;
+        running stats are updated sequentially across microbatches in
+        pass 1, exactly as torch accumulation would."""
         batch_size = batch["image"].shape[0]
         mae_masking = None
         if cfg.mae.enabled:
@@ -273,27 +298,35 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         micro_masking = (None if mae_masking is None
                          else _microbatches(mae_masking))
 
-        def embed(params, mb, mbm, i):
+        def embed(params, mb, mbm, i, stats):
             # Per-microbatch dropout rng (identical between the two passes,
             # a GradCache requirement; masking comes precomputed, so the
             # fold only decorrelates dropout across microbatches).
             mb_rng = jax.random.fold_in(rng, 16 + i)
-            out, _ = _forward(model, {"params": params}, mb, True, mb_rng,
-                              cfg, mae_masking=mbm)
+            variables = {"params": params}
+            if stats is not None:
+                variables["batch_stats"] = stats
+            out, new_stats = _forward(model, variables, mb, True, mb_rng,
+                                      cfg, mae_masking=mbm)
             mae = (out["mae_loss"] if "mae_loss" in out
                    else jnp.zeros((), jnp.float32))
-            return out["image_embeddings"], out["text_embeddings"], mae
+            return (out["image_embeddings"], out["text_embeddings"], mae,
+                    new_stats)
 
         idx = jnp.arange(accum_steps, dtype=jnp.int32)
 
         # Pass 1: embeddings only; activations are free to die (no grad).
-        def scan_embed(_, xs):
+        # Running stats thread sequentially through the carry (BN towers).
+        def scan_embed(stats, xs):
             mb, mbm, i = xs
-            img, txt, mae = embed(state.params, mb, mbm, i)
-            return None, (img, txt, mae)
+            img, txt, mae, new_stats = embed(state.params, mb, mbm, i,
+                                             stats)
+            if stats is None:       # stat-free tower: keep carry static
+                new_stats = None
+            return new_stats, (img, txt, mae)
 
-        _, (imgs, txts, maes) = jax.lax.scan(
-            scan_embed, None, (micro, micro_masking, idx))
+        new_stats, (imgs, txts, maes) = jax.lax.scan(
+            scan_embed, state.batch_stats, (micro, micro_masking, idx))
         emb_dim = imgs.shape[-1]
         img_all = imgs.reshape(batch_size, emb_dim)
         txt_all = txts.reshape(batch_size, emb_dim)
@@ -316,7 +349,12 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
 
         def scan_grads(acc, xs):
             mb, mbm, di, dt, i = xs
-            _, vjp_fn = jax.vjp(lambda p: embed(p, mb, mbm, i), state.params)
+            # BN towers: train-mode output is independent of the running
+            # stats fed in, so state.batch_stats reproduces pass 1's
+            # forward; the (non-differentiated) stat updates are dropped.
+            _, vjp_fn = jax.vjp(
+                lambda p: embed(p, mb, mbm, i, state.batch_stats)[:3],
+                state.params)
             (g,) = vjp_fn((di, dt, mae_cot))
             return jax.tree_util.tree_map(jnp.add, acc, g), None
 
@@ -336,26 +374,20 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
             mae_loss = jnp.mean(maes)
             metrics["mae_loss"] = mae_loss
             metrics["loss"] = clip_loss + cfg.mae.loss_weight * mae_loss
-        return grads, metrics
+        return grads, metrics, new_stats
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]
                 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(state.rng, state.step)
 
-        if accum_steps > 1 and state.batch_stats is not None:
-            raise NotImplementedError(
-                "gradient accumulation with BatchNorm towers (resnet50) "
-                "would need cross-microbatch stat merging; use a ViT tower")
         if accum_steps == 1:
             (_, (metrics, new_stats)), grads = jax.value_and_grad(
-                loss_for, argnums=3, has_aux=True)(state, batch, rng,
-                                                   state.params)
+                loss_for, argnums=3, has_aux=True)(
+                    state.batch_stats, batch, rng, state.params)
+        elif true_global_contrastive:
+            grads, metrics, new_stats = _gradcache_accum(state, batch, rng)
         else:
-            new_stats = state.batch_stats
-            if true_global_contrastive:
-                grads, metrics = _gradcache_accum(state, batch, rng)
-            else:
-                grads, metrics = _legacy_accum(state, batch, rng)
+            grads, metrics, new_stats = _legacy_accum(state, batch, rng)
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
@@ -616,11 +648,19 @@ class Trainer:
         # in_shardings never have to reshard process-local inputs.
         self._nproc = jax.process_count()
         if self._nproc > 1 and mesh is not None:
-            if train_store is not None or valid_store is not None:
-                raise ValueError(
-                    "device-resident stores assume one controller can "
-                    "device_put to every mesh device; multi-host runs "
-                    "stream per-host shards instead (docs/MULTIHOST.md)")
+            # Device-resident data under multi-controller requires the
+            # ROW-SHARDED store (each process staged only its local rows,
+            # data.device_store._build_sharded_store_multiprocess); a
+            # replicated store assumes one controller can device_put to
+            # every mesh device.
+            from mae_clip_tpu.data.device_store import ShardedDeviceStore
+            for s in (train_store, valid_store):
+                if s is not None and not isinstance(s, ShardedDeviceStore):
+                    raise ValueError(
+                        "replicated device stores assume one controller; "
+                        "multi-host device data needs the row-sharded "
+                        "store (device_data_sharded=true — "
+                        "docs/MULTIHOST.md)")
             rep = NamedSharding(mesh, P())
             _rep = lambda t: jax.tree_util.tree_map(
                 lambda a: jax.device_put(np.asarray(a), rep), t)
@@ -764,8 +804,15 @@ class Trainer:
             # valid-all-False cond-skipped steps (round 2 measured 112
             # scanned for 103 real steps per epoch = 8% wasted scan
             # iterations; BASELINE.md "End-to-end epoch rate").
-            idx = jnp.asarray(np.stack(idx_rows))
-            valid = jnp.asarray(np.stack(valid_rows))
+            # Multi-controller: the (K, B) index/valid matrices stay host
+            # numpy — every process computes the identical batches from
+            # the shared seed, and identical host arrays are the one
+            # legal replicated jit input; a local jnp.asarray would
+            # commit them to this process's device 0.
+            idx = np.stack(idx_rows)
+            valid = np.stack(valid_rows)
+            if self._nproc == 1:
+                idx, valid = jnp.asarray(idx), jnp.asarray(valid)
             if train:
                 self.state, losses = sstep(self.state, store.arrays,
                                            idx, valid)
@@ -806,6 +853,14 @@ class Trainer:
         if store is not None and "indices" in batch:
             # Device-resident path: ship only the (B,) index vector; the
             # batch itself is an async HBM->HBM gather.
+            if self._nproc > 1:
+                # Indices/valid are identical host arrays on every
+                # process (shared-seed loaders) — the legal replicated
+                # jit input; the gathered arrays come out GLOBAL (the
+                # store is row-sharded), so skip shard_batch below.
+                gathered = store.gather(np.asarray(batch["indices"]))
+                gathered["valid"] = np.asarray(batch["valid"])
+                return gathered
             gathered = store.gather(jnp.asarray(batch["indices"]))
             gathered["valid"] = jnp.asarray(batch["valid"])
             batch = gathered
@@ -1138,8 +1193,15 @@ class Trainer:
             # one (the best-val checkpoint's full metrics come from the
             # separate `cli eval` battery, so no is_best trigger — that
             # would fire every epoch while the run is still improving).
+            # Early-stopped runs never reach `epoch == last`, so the
+            # about-to-stop epoch also counts as final — otherwise the
+            # recorded eval curve would end up to eval_every-1 epochs
+            # before the run does (advisor finding, round 4).
+            stopping = (cfg.early_stop_patience > 0
+                        and epoch - best_epoch >= cfg.early_stop_patience)
             eval_due = eval_fn is not None and (
-                epoch == last or (epoch + 1) % cfg.eval_every == 0)
+                epoch == last or stopping
+                or (epoch + 1) % cfg.eval_every == 0)
             if eval_due:
                 extra = eval_fn(self, epoch) or {}
                 scalars["time/eval_s"] = round(time.perf_counter() - t3, 3)
@@ -1150,10 +1212,9 @@ class Trainer:
                 self.writer.write_scalars(epoch, scalars)
             # Early stop on valid-loss plateau (cfg.early_stop_patience
             # epochs without a new best; 0 = reference behavior, fixed
-            # budget). Runs AFTER checkpoint/metrics so the stopping
-            # epoch is fully recorded.
-            if (cfg.early_stop_patience > 0
-                    and epoch - best_epoch >= cfg.early_stop_patience):
+            # budget). Runs AFTER checkpoint/metrics/eval so the stopping
+            # epoch is fully recorded (incl. eval scalars — see eval_due).
+            if stopping:
                 history["stopped_early"] = True
                 break
         history["best_epoch"] = best_epoch

@@ -537,4 +537,11 @@ def test_retrieval_eval_fn_cached_text_matches_tokens_path():
     cached = make_retrieval_eval_fn(model, ds, loader_fn, batch_size=4,
                                     ks=(1, 3), max_samples=None,
                                     text_features=tf)(trainer, 0)
-    assert cached == full
+    # approx, not exact equality: the two paths batch the text encode
+    # differently (precompute pads all 6 captions in one call; the full
+    # path encodes in loader batches of 4), so scores agree only up to
+    # XLA fusion/padding numerics — near-tied similarities could flip
+    # top-k order on another platform (advisor finding, round 4).
+    assert set(cached) == set(full)
+    for k in full:
+        assert cached[k] == pytest.approx(full[k], abs=1e-6)

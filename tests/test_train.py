@@ -413,6 +413,93 @@ def test_gradcache_differs_from_legacy_approximation():
     assert abs(float(m_true["clip_loss"]) - float(m_leg["clip_loss"])) > 1e-4
 
 
+def _bn_tower_setup():
+    """A SHALLOW BatchNorm tower (the resnet50 architecture cut to one
+    bottleneck stage via CLIPModel.resnet_shape — a full random-init
+    resnet50 is numerically chaotic: fp32 reduction-order noise amplifies
+    to O(1) through its 53 BN divisions, measured 4.0 abs / 3e-5 even at
+    f64) with dropout off, batch = two IDENTICAL halves: each microbatch
+    then has exactly the full batch's BN statistics, so the
+    per-microbatch-normalization accumulation semantics coincide with
+    the giant-batch step and the two arms must agree to fp tolerance."""
+    cfg = Config(model_name="resnet50", compute_dtype="float32", size=32,
+                 dropout=0.0, batch_size=4, text_trainable=False,
+                 pretrained=False, max_length=16, image_embedding=32)
+    model = CLIPModel(cfg, text_config=TINY_TEXT,
+                      resnet_shape=((1,), (8,)))
+    rng = np.random.default_rng(3)
+    half_img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    half_ids = rng.integers(2, 64, size=(2, 10)).astype(np.int32)
+    batch = {
+        "image": jnp.asarray(np.concatenate([half_img, half_img])),
+        "input_ids": jnp.asarray(np.concatenate([half_ids, half_ids])),
+        "attention_mask": jnp.ones((4, 10), dtype=jnp.int32),
+        "valid": jnp.ones((4,), dtype=bool),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    assert "batch_stats" in variables
+    return cfg, model, variables, batch
+
+
+def test_gradcache_accum_with_batchnorm_matches_giant_batch():
+    """VERDICT r4 #5: accum_steps>1 with the BatchNorm tower must RUN (it
+    raised NotImplementedError through round 4) and carry torch
+    gradient-accumulation semantics. On duplicated-halves data the
+    giant-batch step is the exact oracle for loss, grads (via SGD(1.0)
+    param deltas) — and the running stats follow the sequential
+    double-EMA law s2 = 1.9*s1 - 0.9*s0 (momentum 0.9)."""
+    import optax
+
+    cfg, model, variables, batch = _bn_tower_setup()
+    tx = optax.sgd(1.0)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    make = lambda: TrainState.create(copy(variables["params"]), tx,
+                                     jax.random.PRNGKey(2),
+                                     copy(variables["batch_stats"]))
+    state_g, mg = make_train_step(model, tx, cfg)(make(), batch)
+    state_a, ma = make_train_step(model, tx, cfg, accum_steps=2)(
+        make(), batch)
+    np.testing.assert_allclose(float(ma["loss"]), float(mg["loss"]),
+                               rtol=2e-6)
+    for a, g in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_g.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(g), atol=2e-5)
+
+    # Running stats: giant batch does ONE EMA update s1 = 0.9*s0 + 0.1*mu;
+    # accumulation does TWO sequential updates with the same per-layer
+    # batch stats (identical halves + pass-1 params fixed), so
+    # s2 = 0.81*s0 + 0.19*mu = 1.9*s1 - 0.9*s0 — expressible in
+    # observables without re-deriving mu.
+    s0_l = jax.tree_util.tree_leaves(variables["batch_stats"])
+    s1_l = jax.tree_util.tree_leaves(state_g.batch_stats)
+    s2_l = jax.tree_util.tree_leaves(state_a.batch_stats)
+    moved = 0.0
+    for s0, s1, s2 in zip(s0_l, s1_l, s2_l):
+        expect = 1.9 * np.asarray(s1) - 0.9 * np.asarray(s0)
+        np.testing.assert_allclose(np.asarray(s2), expect,
+                                   rtol=1e-4, atol=1e-5)
+        moved += float(np.abs(np.asarray(s1) - np.asarray(s0)).sum())
+    assert moved > 0.0     # the stats really did update
+
+
+def test_legacy_accum_with_batchnorm_runs_and_updates_stats():
+    """Legacy (per-microbatch contrastive) accumulation on the BN tower:
+    runs, loss finite, running stats updated sequentially."""
+    cfg, model, variables, batch = _bn_tower_setup()
+    tx = make_optimizer(cfg, variables["params"])
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    state = TrainState.create(copy(variables["params"]), tx,
+                              jax.random.PRNGKey(2),
+                              copy(variables["batch_stats"]))
+    state, m = make_train_step(model, tx, cfg, accum_steps=2,
+                               true_global_contrastive=False)(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(after, before))
+
+
 def test_metric_fetch_batching_matches_per_step():
     """Deferred (device-side) metric draining must produce the identical
     count-weighted epoch meter as per-step fetching — it only changes WHEN
