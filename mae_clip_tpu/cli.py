@@ -236,11 +236,12 @@ def cmd_train(args) -> None:
     # assembles the global array per step (parallel.sharding.shard_batch).
     host_id, num_hosts = jax.process_index(), jax.process_count()
     p0 = host_id == 0
-    if num_hosts > 1 and cfg.device_data:
+    if num_hosts > 1 and cfg.device_data and not cfg.device_data_sharded:
         raise SystemExit(
-            "device_data=true stages from one controller; multi-host runs "
-            "stream per-host data instead (use --shards, or "
-            "device_data=false — docs/MULTIHOST.md)")
+            "device_data=true under multi-host needs the row-sharded "
+            "store: add --set device_data_sharded=true (each process then "
+            "decodes/stages only its local rows; the replicated store "
+            "assumes one controller — docs/MULTIHOST.md)")
 
     # One-time setup attribution (VERDICT r3 item 6: the 50-70 min
     # 100k-row setup was one opaque number) — phase seconds, reported as

@@ -461,12 +461,25 @@ def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
     dedup is PER SHARD — see ``_dedup_decode_sharded`` — so repeated
     captions save their ~duplication-factor of HBM here too, as long as
     a row and its image's first occurrence land in the same contiguous
-    row range (caption datasets group captions per image, so they do)."""
+    row range (caption datasets group captions per image, so they do).
+
+    Multi-controller (``jax.process_count() > 1``): each process decodes
+    and uploads ONLY the rows its addressable devices hold (the sharded
+    layout already gives every device a contiguous row block), and the
+    global arrays are assembled with
+    ``jax.make_array_from_single_device_arrays`` — so staging cost AND
+    HBM scale with the per-host share, which is what makes the fastest
+    epoch path available at pod scale (VERDICT r4 #4)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if mesh is None:
         raise ValueError("build_sharded_device_store needs a mesh")
+    if jax.process_count() > 1:
+        return _build_sharded_store_multiprocess(
+            dataset, mesh, axis, text_features=text_features,
+            images=images, num_threads=num_threads,
+            dedup_images=dedup_images, timings=timings)
     d = mesh.shape[axis]
     maps = None
     n = None
@@ -513,6 +526,126 @@ def build_sharded_device_store(dataset=None, mesh=None, axis: str = "data",
         arrays["attention_mask"] = put(dataset.attention_mask)
     if timings is not None:
         timings["upload_s"] = round(time.perf_counter() - t_up, 3)
+    return ShardedDeviceStore(arrays, mesh, axis, n_real=n, maps=maps)
+
+
+def _build_sharded_store_multiprocess(dataset, mesh, axis: str,
+                                      text_features=None, images=None,
+                                      num_threads: int = 8,
+                                      dedup_images: bool = True,
+                                      timings: Optional[dict] = None
+                                      ) -> "ShardedDeviceStore":
+    """Multi-controller ``build_sharded_device_store``: decode/stage only
+    this process's rows; assemble global arrays from per-device buffers.
+
+    Every process runs this in lockstep with IDENTICAL metadata (the
+    dataset's filenames/token tables are global on every host; only image
+    DECODE is restricted to local rows), so all sharding decisions —
+    padding, per-shard dedup layout, u_max — are computed
+    coordination-free from that shared metadata."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d = mesh.shape[axis]
+    n = len(images) if images is not None else len(dataset)
+    rps = -(-n // d)
+    n_pad = rps * d
+    sharding = NamedSharding(mesh, P(axis))
+    t0 = time.perf_counter()
+
+    def assemble(global_shape, dtype, block_fn):
+        """Global array from per-addressable-device host blocks.
+
+        ``block_fn(lo, hi)`` returns host rows [lo, hi) of the global
+        array; devices sharing a block (e.g. along a model axis) reuse
+        the one decoded copy."""
+        imap = sharding.addressable_devices_indices_map(global_shape)
+        cache: Dict[Tuple[int, int], np.ndarray] = {}
+        bufs = []
+        for dev, idx in imap.items():
+            sl = idx[0]
+            lo = 0 if sl.start is None else int(sl.start)
+            hi = global_shape[0] if sl.stop is None else int(sl.stop)
+            if (lo, hi) not in cache:
+                blk = np.ascontiguousarray(np.asarray(block_fn(lo, hi)))
+                cache[(lo, hi)] = blk.astype(dtype, copy=False)
+            bufs.append(jax.device_put(cache[(lo, hi)], dev))
+        return jax.make_array_from_single_device_arrays(
+            tuple(global_shape), sharding, bufs)
+
+    def sliced(a, pad_rows: int):
+        """block_fn for an (n, ...) host array padded to ``pad_rows``."""
+        a = np.asarray(a)
+
+        def block(lo, hi):
+            real = a[lo:min(hi, n)]
+            if hi > n and hi - max(lo, n) > 0:
+                real = np.concatenate([real, np.zeros(
+                    (hi - max(lo, n),) + a.shape[1:], a.dtype)])
+            return real
+
+        return (pad_rows,) + a.shape[1:], a.dtype, block
+
+    maps = None
+    if images is not None:
+        shape, dtype, img_block = sliced(images, n_pad)
+    else:
+        row_shape, dtype = dataset.sample_shape()
+        shape = (n_pad,) + tuple(row_shape)
+        fnames = getattr(dataset, "image_filenames", None)
+        per_shard = None
+        if dedup_images and fnames is not None:
+            fnames = np.asarray(fnames)
+            per_shard = []
+            for sh in range(d):
+                lo, hi = sh * rps, min((sh + 1) * rps, n)
+                _, first, inv = np.unique(
+                    fnames[lo:hi], return_index=True, return_inverse=True)
+                per_shard.append((lo + first, inv))
+            u_max = max(len(first) for first, _ in per_shard)
+            if u_max >= rps:
+                per_shard = None           # dedup wouldn't shrink anything
+        if per_shard is not None:
+            shape = (d * u_max,) + tuple(row_shape)
+
+            def img_block(lo, hi):
+                sh = lo // u_max
+                first, _ = per_shard[sh]
+                blk = _decode_rows(dataset, first.tolist(), num_threads)
+                if len(first) < u_max:
+                    blk = np.concatenate([blk, np.zeros(
+                        (u_max - len(first),) + blk.shape[1:], blk.dtype)])
+                return blk
+
+            def map_block(lo, hi):
+                sh = lo // rps
+                first, inv = per_shard[sh]
+                out = np.full((rps,), sh * u_max, np.int32)
+                out[:len(inv)] = sh * u_max + inv
+                return out
+
+            maps = {"image": assemble((n_pad,), np.int32, map_block)}
+        else:
+            def img_block(lo, hi):
+                real_hi = min(hi, n)
+                blk = (_decode_rows(dataset, range(lo, real_hi), num_threads)
+                       if real_hi > lo
+                       else np.zeros((0,) + tuple(row_shape), dtype))
+                pad_rows = hi - max(lo, real_hi)
+                if pad_rows > 0:
+                    blk = np.concatenate([blk, np.zeros(
+                        (pad_rows,) + tuple(row_shape), blk.dtype)])
+                return blk
+
+    arrays = {"image": assemble(shape, dtype, img_block)}
+    if text_features is not None:
+        arrays["text_features"] = assemble(*sliced(text_features, n_pad))
+    elif dataset is not None and hasattr(dataset, "input_ids"):
+        arrays["input_ids"] = assemble(*sliced(dataset.input_ids, n_pad))
+        arrays["attention_mask"] = assemble(
+            *sliced(dataset.attention_mask, n_pad))
+    if timings is not None:
+        timings["stage_local_s"] = round(time.perf_counter() - t0, 3)
     return ShardedDeviceStore(arrays, mesh, axis, n_real=n, maps=maps)
 
 
