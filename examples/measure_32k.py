@@ -145,9 +145,28 @@ def main() -> None:
         pass
     if jax.default_backend() == "tpu":
         from mae_clip_tpu.utils.calibrate import calibrate_tflops
-        report["calib_tflops"] = round(calibrate_tflops(), 1)
+        calib = calibrate_tflops()
+        report["calib_tflops"] = round(calib, 1)
+        # Per-arm floor guard (bench.py pattern; VERDICT r4 weak #5: the
+        # 32k row had no machine-checkable floor). Floors from the
+        # round-4 measured rows (BASELINE.md "Config 5 at its actual
+        # scale"), calib-normalized to separate window drift from step
+        # regressions.
+        floors = {"b32768_accum128_adamw": (3617.0, 183.4),
+                  "b256_accum1_adamw": (4899.0, 184.8)}
+        if report["arm"] in floors and calib > 0:
+            fp, fc = floors[report["arm"]]
+            norm = report["pairs_per_sec_per_chip"] * (fc / calib)
+            report["vs_floor"] = round(norm / fp, 3)
+            if norm < 0.9 * fp:
+                report["floor_warning"] = (
+                    f"calib-normalized {norm:.0f} pairs/s is >10% below "
+                    f"the defended {report['arm']} floor ({fp:.0f} at "
+                    f"calib {fc:.0f} TF/s)")
     print(json.dumps(report))
 
 
 if __name__ == "__main__":
-    main()
+    from mae_clip_tpu.utils.tpu_lock import tpu_lock
+    with tpu_lock():
+        main()

@@ -178,4 +178,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from mae_clip_tpu.utils.tpu_lock import tpu_lock
+    with tpu_lock():
+        main()

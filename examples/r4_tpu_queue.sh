@@ -11,17 +11,21 @@ echo "=== queue start $(date -u +%H:%M:%S) ===" > "$R/queue.log"
 
 # 1) VERDICT ask #3: trainable-text dual-tower vs frozen headline,
 #    interleaved, fresh process each, self-calibrating.
+# (advisor fix, round 4: bench legs now carry PYTHONPATH explicitly so a
+# detached launch without the session env still registers the TPU.)
 for arm in 0 1; do
   echo "--- bench TEXT_TRAINABLE=$arm $(date -u +%H:%M:%S) ---" >> "$R/queue.log"
-  timeout 900 env BENCH_TEXT_TRAINABLE=$arm python bench.py \
-    > "$R/bench_text$arm.full.log" 2>&1
+  timeout 900 env PYTHONPATH=/root/repo:/root/.axon_site BENCH_TEXT_TRAINABLE=$arm \
+    python bench.py > "$R/bench_text$arm.full.log" 2>&1
   grep '"metric"' "$R/bench_text$arm.full.log" >> "$R/queue.log"
 done
-# second frozen leg closes the window classification
-echo "--- bench TEXT_TRAINABLE=1 leg2 $(date -u +%H:%M:%S) ---" >> "$R/queue.log"
-timeout 900 env BENCH_TEXT_TRAINABLE=1 python bench.py \
-  > "$R/bench_text1b.full.log" 2>&1
-grep '"metric"' "$R/bench_text1b.full.log" >> "$R/queue.log"
+# second FROZEN leg closes the window classification (advisor fix,
+# round 4: this leg ran TEXT_TRAINABLE=1 — a trainable repeat — so the
+# frozen A/B/A bracket was never closed; r5_tpu_queue.sh re-runs it).
+echo "--- bench TEXT_TRAINABLE=0 leg2 $(date -u +%H:%M:%S) ---" >> "$R/queue.log"
+timeout 900 env PYTHONPATH=/root/repo:/root/.axon_site BENCH_TEXT_TRAINABLE=0 \
+  python bench.py > "$R/bench_text0b.full.log" 2>&1
+grep '"metric"' "$R/bench_text0b.full.log" >> "$R/queue.log"
 
 # 2) VERDICT ask #2 residual: the lamb 32k arm (hung in the round-4
 #    outage window), anchored for window classification.
