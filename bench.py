@@ -266,7 +266,14 @@ def _run() -> None:
         floor_pairs, floor_calib = FLOORS[arm]
         normalized = pairs_per_sec * (floor_calib / calib)
         report["vs_floor"] = round(normalized / floor_pairs, 3)
-        if normalized < 0.9 * floor_pairs:
+        if calib < 160.0:
+            # A healthy post-fix chain reads 179-196 TF/s; far below that
+            # the WINDOW is degraded (tunnel stall mid-calibration, CPU
+            # contention) and the normalization over-corrects — observed
+            # vs_floor 1.12 from a calib-169 contaminated window. Flag
+            # instead of warning either way; the reading needs a re-run.
+            report["window_degraded"] = True
+        elif normalized < 0.9 * floor_pairs:
             report["floor_warning"] = (
                 f"calib-normalized throughput {normalized:.0f} pairs/s is "
                 f">10% below the defended {arm} floor "

@@ -26,10 +26,18 @@ assert float((x@x)[0,0]) == 1024.0" >/dev/null 2>&1
 }
 
 wait_ready () {
-  while pgrep -a -f pytest >/dev/null 2>&1; do sleep 20; done
-  until probe; do
-    date -u +%H:%M:%S >> "$R/probe_failures.log"
-    sleep 180
+  # Loop until BOTH conditions hold in the same pass: pytest idle AND a
+  # live tunnel. (The round-5 first launch checked pytest only once,
+  # before the probe loop — a suite started during a long outage then
+  # overlapped the first leg the moment the tunnel recovered.)
+  while :; do
+    if pgrep -a -f pytest >/dev/null 2>&1; then sleep 20; continue; fi
+    if probe; then
+      pgrep -a -f pytest >/dev/null 2>&1 || return 0
+    else
+      date -u +%H:%M:%S >> "$R/probe_failures.log"
+      sleep 180
+    fi
   done
 }
 
