@@ -79,7 +79,7 @@ leg serving_shed   1200 python examples/measure_serving.py \
 
 # 5) Setup breakdown (ask #6): one full synth32k staging run with the
 #    overlapped decode/upload attribution (setup_timings line).
-leg setup_breakdown 2400 python -m mae_clip_tpu.cli train \
+leg setup_breakdown 3600 python -m mae_clip_tpu.cli train \
     --preset flagship_siglip --captions-dir /tmp/synth32k \
     --set image_path=/tmp/synth32k/images --set vocab_file=/tmp/synth32k/vocab.txt \
     --set device_data=true --set cache_images=true --set epochs=1 \

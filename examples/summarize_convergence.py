@@ -32,6 +32,15 @@ def main() -> None:
         for k in ("eval/recall@1", "eval/recall@5", "eval/recall@10"):
             if k in last:
                 out[k] = last[k]
+        # Eval row nearest the best-valid epoch (eval_every-gated runs may
+        # not have one exactly there; the `cli eval` battery on the best
+        # checkpoint is the definitive converged number).
+        near = min(evals, key=lambda r: abs(r.get("step", 0)
+                                            - out["best_epoch"]))
+        out["best_near_eval_epoch"] = near.get("step")
+        for k in ("eval/recall@1", "eval/recall@5", "eval/recall@10"):
+            if k in near:
+                out[k.replace("eval/", "best_near_")] = near[k]
     for key in ("time/train_s", "time/valid_s", "time/ckpt_s",
                 "time/eval_s"):
         vals = [r[key] for r in rows if key in r]

@@ -640,3 +640,60 @@ def test_overlapped_staging_propagates_decode_errors():
 
     with pytest.raises(ValueError, match="decode boom"):
         build_device_store(BadDS(), dedup_images=False)
+
+
+def test_multiprocess_builder_matches_single_controller():
+    """The process_count>1 store builder
+    (_build_sharded_store_multiprocess) is process-count-agnostic: run
+    it in-process (every device addressable) and its arrays must
+    BIT-MATCH build_sharded_device_store's single-controller layout —
+    per-shard dedup storage + global-index map tables, ragged row pad,
+    token tables, and text-features — in both dedup and non-dedup
+    branches. The 2-process fleet test proves the cross-process wiring;
+    this pins the layout equivalence cheaply in the default suite."""
+    from mae_clip_tpu.data.device_store import (
+        DeviceStore, _build_sharded_store_multiprocess,
+        build_sharded_device_store)
+    from mae_clip_tpu.parallel.mesh import mesh_from_config
+
+    # Same fixture as test_sharded_store_dedup_matches_duplicated: 'c'
+    # straddles a shard boundary, shard3 is ragged (14 rows, 4 shards).
+    names = ["a", "a", "b", "c", "c", "c", "d", "d",
+             "e", "e", "f", "f", "g", "g"]
+    n = len(names)
+
+    class CaptionsDS:
+        image_filenames = names
+        input_ids = np.arange(2 * n, dtype=np.int32).reshape(n, 2)
+        attention_mask = np.ones((n, 2), np.int32)
+
+        def __len__(self):
+            return n
+
+        def load_image(self, i):
+            return np.full((4, 4, 3), ord(names[i]), np.uint8)
+
+        def sample_shape(self):
+            return (4, 4, 3), np.dtype(np.uint8)
+
+    cfg = tiny_cfg(batch_size=8)
+    mesh = mesh_from_config(cfg.mesh)
+    mesh4 = jax.sharding.Mesh(mesh.devices.reshape(4, 2)[:, 0], ("data",))
+    ds = CaptionsDS()
+    tf = np.arange(2 * n, dtype=np.float32).reshape(n, 2)
+
+    for dedup in (True, False):
+        ref = build_sharded_device_store(ds, mesh=mesh4, text_features=tf,
+                                         dedup_images=dedup)
+        mc = _build_sharded_store_multiprocess(ds, mesh4, "data",
+                                               text_features=tf,
+                                               dedup_images=dedup)
+        assert mc.n == ref.n and mc.n_real == ref.n_real == n
+        assert set(mc.arrays) == set(ref.arrays), dedup
+        for k in ref.arrays:
+            np.testing.assert_array_equal(
+                np.asarray(mc.arrays[k]), np.asarray(ref.arrays[k]),
+                err_msg=f"dedup={dedup} key={k}")
+    # the dedup branch really fired (12 storage rows, not 16)
+    assert (DeviceStore.MAP_PREFIX + "image"
+            in _build_sharded_store_multiprocess(ds, mesh4, "data").arrays)

@@ -358,10 +358,14 @@ def test_two_process_cli_train_device_data_matches_single_process(tmp_path):
     are shared-seed deterministic, and the per-epoch losses match the
     identical single-process sharded-store run (same rtol rationale as
     the CSV test above)."""
-    # 2 captions/image: contiguous duplicate-image groups make the
-    # PER-SHARD dedup fire inside _build_sharded_store_multiprocess.
+    # 3 captions/image: contiguous duplicate-image groups make the
+    # PER-SHARD dedup fire inside _build_sharded_store_multiprocess on
+    # every shard (any 3 consecutive rows span <=2 of the 3-row groups,
+    # so u_max < rows_per_shard regardless of how the Flickr split
+    # shifts the grouping — with 2 captions/image one shard could hit
+    # u == rps and silently disable dedup).
     data, img_dir, vocab, _ = _write_captions_dataset(
-        tmp_path, n_rows=24, seed=7, captions_per_image=2)
+        tmp_path, n_rows=24, seed=7, captions_per_image=3)
 
     def args(run, logs):
         return (["train", "--captions-dir", str(data)]
