@@ -36,13 +36,20 @@ wait_ready () {
       pgrep -a -f pytest >/dev/null 2>&1 || return 0
     else
       date -u +%H:%M:%S >> "$R/probe_failures.log"
-      sleep 180
+      sleep 60   # the tunnel FLAPS (observed up-windows ~30 min between
+                 # multi-hour outages); probe often enough to catch one
     fi
   done
 }
 
 leg () {  # leg <logname> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
+  # Restart-safe: a leg whose log already carries a result line is done —
+  # queue restarts (flapping tunnel, script updates) skip it.
+  if grep -q '"metric"\|"arm"\|"mode"\|setup_timings' "$R/$name.full.log" \
+      2>/dev/null; then
+    return 0
+  fi
   wait_ready
   echo "--- $name $(date -u +%H:%M:%S) ---" >> "$R/queue.log"
   flock -w 3600 "$LOCK" timeout "$t" env $ENVV "$@" \
