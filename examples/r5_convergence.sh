@@ -48,3 +48,20 @@ echo "--- pretrain exit $? ---"
 arm siglip_mae flagship_siglip --init-from-mae /tmp/conv_mae/ckpt
 arm softmax flagship_tpu
 echo "=== campaign done ($(date -u +%H:%M:%S)) ==="
+
+# VERDICT r4 ask #6 at the ACTUAL quoted scale: the 100k-row staging
+# breakdown (BASELINE.md's "~50-70 min" setup claim was unattributed).
+# /tmp/synth100k: 50k unique images x 2 captions = 100k rows; one
+# cli-train epoch with device_data so the setup_timings line lands
+# (decode_s / upload_s / wall_s overlap + text precompute + init).
+if [ -d /tmp/synth100k/images ]; then
+  echo "=== setup breakdown @100k rows ($(date -u +%H:%M:%S)) ==="
+  timeout 7200 python -m mae_clip_tpu.cli train --preset flagship_siglip \
+    --captions-dir /tmp/synth100k --set image_path=/tmp/synth100k/images \
+    --set vocab_file=/tmp/synth100k/vocab.txt \
+    --set device_data=true --set cache_images=true --set epochs=1 \
+    --set logdir=/tmp/r5_setup100k/logs --set checkpoints=/tmp/r5_setup100k/ckpt \
+    --no-progress > "$R/setup_100k.full.log" 2>&1
+  echo "--- setup100k exit $? ---"
+  grep -h 'setup_timings\|final_train_loss' "$R/setup_100k.full.log" || true
+fi
