@@ -29,10 +29,13 @@ Design notes:
 * Uploads are chunked (``device_put`` of ~100-200 MB slabs, concatenated
   on device) so the host never materialises a second full copy and the
   transfer streams.
-* Multi-chip: the store is small enough to replicate for DP meshes (pass
-  ``sharding=NamedSharding(mesh, P())``); sample-sharded stores with
-  index routing are a non-goal while per-host file sharding
-  (``data/shards.py``) covers the multi-host case.
+* Multi-chip: replicate for small DP meshes (pass
+  ``sharding=NamedSharding(mesh, P())``), or row-shard with
+  ``ShardedDeviceStore`` (capacity scales with mesh size; blocked index
+  loaders keep the hot gather collective-free). Multi-HOST: the sharded
+  store stages per process (``_build_sharded_store_multiprocess``);
+  per-host file sharding (``data/shards.py``) remains the streaming
+  alternative when the dataset exceeds HBM.
 """
 
 from __future__ import annotations
@@ -349,9 +352,10 @@ class ShardedDeviceStore(DeviceStore):
     (``eval.retrieval.compute_image_embeddings_from_store``) work
     unchanged, just not collective-free.
 
-    Single-controller only: arrays are placed with one ``device_put``
-    per array; multi-HOST runs should keep using per-host file sharding
-    (``data/shards.py``) instead.
+    Multi-controller: ``build_sharded_device_store`` dispatches to
+    ``_build_sharded_store_multiprocess`` under ``process_count > 1`` —
+    each process decodes/stages only its addressable shards' rows and
+    the class operates on the assembled global arrays unchanged.
     """
 
     def __init__(self, arrays: Dict[str, "jax.Array"], mesh,
