@@ -240,15 +240,19 @@ def _run() -> None:
     # (pairs/s, calib TFLOP/s of the window(s) it was recorded in,
     # post-calibration-fix dd7845c).
     FLOORS = {
-        # flagship b256 cached-text: re-baselined round 5 (see BASELINE).
-        "flagship_cached": (9600.0, 186.0),
-        # flagship b256 trainable-text: round-4 queue, clean post-driver
-        # legs (3348.2 @ 189.4 and 3352.6 @ 179.0 -> mean).
-        "flagship_trainable_text": (3350.0, 184.2),
-        # literal reference recipe, bf16 b256 (round-2/3 readings 2104.7
-        # and 2099.4; window calib unrecorded then — provisional until
-        # the round-5 queue's reference_py leg lands a calibrated row).
-        "reference_py_bf16": (2100.0, 183.0),
+        # flagship b256 cached-text: re-baselined round 5 from FOUR
+        # clean locked-window readings post-calibration-fix (9601.2 @
+        # 182.4, 9612.1 @ 185.5, 9643.2 @ 185.1, 9611.0 @ 186.7 —
+        # results/r5/queue.log 03:30-04:08 UTC 2026-08-21).
+        "flagship_cached": (9610.0, 185.0),
+        # flagship b256 trainable-text: three readings within 0.13%
+        # (3348.2 @ 189.4, 3352.6 @ 179.0 — r4 queue; 3349.8 @ 183.5 —
+        # r5 locked window).
+        "flagship_trainable_text": (3350.0, 184.0),
+        # literal reference recipe, bf16 b256: calibrated round 5
+        # (2100.9 @ 182.1), matching the uncalibrated round-2/3 readings
+        # (2104.7, 2099.4).
+        "reference_py_bf16": (2100.0, 182.0),
     }
     arm = None
     plain = not (DTYPE or FUSED or LOSS or DECODER_STYLE or ATTN)

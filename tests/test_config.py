@@ -54,6 +54,9 @@ def test_presets_validate():
     assert large_batch_mesh_config().batch_size == 32768
     assert large_batch_mesh_config().loss_chunk_size > 0
     assert large_batch_mesh_config().accum_steps == 8
+    # LAMB adopted round 5: measured FREE at the 32k step cadence
+    # (3,616.7 vs adamw 3,617 pairs/s — BASELINE.md round-5 section).
+    assert large_batch_mesh_config().optimizer == "lamb"
     # The recommended from-scratch recipe (round-3 quality campaign).
     s = flagship_siglip_config()
     assert s.contrastive_loss == "siglip" and s.lr == 2e-4
