@@ -97,8 +97,8 @@ echo "=== r5 queue phase A done $(date -u +%H:%M:%S) ===" >> "$R/queue.log"
 
 # 6) Convergence campaign (ask #2; the long pole — each arm writes its
 #    artifacts on completion, so partial progress survives a cutoff).
-wait_ready
-flock -w 43200 "$LOCK" env TPU_LOCK_HELD=1 \
-  bash examples/r5_convergence.sh >> "$R/queue.log" 2>&1
+#    No outer flock: the gated script takes the lock PER ARM (holding it
+#    here would deadlock its inner flock calls) and probe-gates itself.
+bash examples/r5_convergence.sh >> "$R/queue.log" 2>&1
 
 echo "=== r5 queue done $(date -u +%H:%M:%S) ===" >> "$R/queue.log"
