@@ -40,6 +40,7 @@ Design notes:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, Iterable, Iterator, Optional, Tuple
 
@@ -104,6 +105,32 @@ class DeviceStore:
         """(B,) int32 device/host indices -> on-device batch dict."""
         return self._gather(self.arrays, indices)
 
+    # Above this operand size, traced row gathers unroll into B dynamic
+    # slices instead of one XLA gather: this backend's TPU compiler
+    # allocates a FULL-OPERAND temp copy for every gather op (measured
+    # round 5: take on a 1.4 GiB store plans a 1.43 GiB temp; dtype-
+    # independent), which at 100k-row scale stacked to 3x the store and
+    # OOM'd the 16 GiB chip at compile. Unrolled dynamic slices plan
+    # ~zero temp at ~80 s extra compile per (B,) shape — worth it only
+    # when the copy threatens HBM. Override: MAE_CLIP_UNROLL_GATHER_GB.
+    UNROLLED_GATHER_MIN_BYTES = int(float(os.environ.get(
+        "MAE_CLIP_UNROLL_GATHER_GB", "2.5")) * 2**30)
+
+    def _rows(self, v, idx):
+        """Row gather for (B,) resolved indices; see the class constant
+        for why big operands avoid the XLA gather op."""
+        import jax
+        import jax.numpy as jnp
+
+        nbytes = int(np.prod(v.shape)) * v.dtype.itemsize
+        b = idx.shape[0] if idx.ndim else None
+        if b and nbytes >= self.UNROLLED_GATHER_MIN_BYTES:
+            rows = [jax.lax.dynamic_index_in_dim(v, idx[k], 0,
+                                                 keepdims=True)
+                    for k in range(b)]
+            return jax.lax.concatenate(rows, 0)
+        return jnp.take(v, idx, axis=0)
+
     def traced_gather(self, arrays, indices) -> Dict[str, "jax.Array"]:
         """Gather traceable inside a CALLER's jit (the Trainer superstep
         calls this inside its ``lax.scan``). ``arrays`` is passed through
@@ -117,7 +144,7 @@ class DeviceStore:
             mk = self.MAP_PREFIX + k
             idx = (jnp.take(arrays[mk], indices, axis=0) if mk in arrays
                    else indices)
-            out[k] = jnp.take(v, idx, axis=0)
+            out[k] = self._rows(v, idx)
         return out
 
 

@@ -697,3 +697,36 @@ def test_multiprocess_builder_matches_single_controller():
     # the dedup branch really fired (12 storage rows, not 16)
     assert (DeviceStore.MAP_PREFIX + "image"
             in _build_sharded_store_multiprocess(ds, mesh4, "data").arrays)
+
+
+def test_unrolled_gather_path_matches_take(monkeypatch):
+    """The big-store unrolled dynamic-slice row gather (this backend's
+    TPU compiler plans a FULL-OPERAND temp copy for every XLA gather op
+    — measured round 5, where it stacked to 3x the store and OOM'd the
+    100k-row superstep at compile) must be bit-identical to the take
+    path, including the two-level deduped gather, eager and in-jit."""
+    rng = np.random.default_rng(5)
+    uniq = rng.integers(0, 255, size=(5, 4, 4, 3)).astype(np.uint8)
+    m = np.array([0, 0, 1, 2, 2, 3, 4, 4], np.int32)      # 8 rows -> 5 uniq
+    feats = rng.normal(size=(8, 6)).astype(np.float32)
+    idx = np.array([7, 0, 3, 5], np.int32)
+
+    take_store = DeviceStore({"image": jnp.asarray(uniq),
+                              "text_features": jnp.asarray(feats)},
+                             maps={"image": m})
+    ref = take_store.gather(jnp.asarray(idx))
+
+    monkeypatch.setattr(DeviceStore, "UNROLLED_GATHER_MIN_BYTES", 0)
+    unrolled_store = DeviceStore({"image": jnp.asarray(uniq),
+                                  "text_features": jnp.asarray(feats)},
+                                 maps={"image": m})
+    out = unrolled_store.gather(jnp.asarray(idx))
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+    # and traceable inside a caller's jit (the superstep contract)
+    out2 = jax.jit(lambda arrs, i: unrolled_store.traced_gather(arrs, i))(
+        unrolled_store.arrays, jnp.asarray(idx))
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(out2[k]),
+                                      np.asarray(ref[k]), err_msg=k)
