@@ -277,7 +277,15 @@ def _run() -> None:
             # vs_floor 1.12 from a calib-169 contaminated window. Flag
             # instead of warning either way; the reading needs a re-run.
             report["window_degraded"] = True
-        elif normalized < 0.9 * floor_pairs:
+        elif (normalized < 0.9 * floor_pairs
+              and pairs_per_sec < 0.9 * floor_pairs):
+            # Warn only when RAW and calib-normalized throughput are BOTH
+            # >10% under the floor: measured round 5, the step rate is
+            # far more stable than the calibration chain (six locked
+            # readings 9,601-9,643 pairs/s = 0.15% sigma, vs calib
+            # 172.8-191.9 = 4% sigma), so requiring both kills the two
+            # false-positive classes — a noisy-calib window (raw fine)
+            # and a genuinely slow window (normalized fine).
             report["floor_warning"] = (
                 f"calib-normalized throughput {normalized:.0f} pairs/s is "
                 f">10% below the defended {arm} floor "
